@@ -1,0 +1,60 @@
+"""RPN proposal generation (fixed-shape).
+
+Parity: `layer_utils/proposal_layer.py:19-68` (decode deltas -> clip ->
+top-K by score -> NMS -> top-N) and `layer_utils/proposal_top_layer.py`
+(NMS-free top-N for TEST.MODE='top'). Outputs are padded to the static
+post-NMS count with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lang2seg_tpu.ops.boxes import decode_boxes, clip_boxes
+from lang2seg_tpu.ops.nms import nms_padded
+
+
+class Proposals(NamedTuple):
+    rois: jnp.ndarray      # (post_nms_n, 4)
+    scores: jnp.ndarray    # (post_nms_n,)
+    valid: jnp.ndarray     # (post_nms_n,) bool
+
+
+def proposal_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
+                   anchors: jnp.ndarray, im_h, im_w,
+                   pre_nms_n: int, post_nms_n: int,
+                   nms_thresh: float) -> Proposals:
+    """scores: (N,) positive-class probs; deltas: (N, 4); anchors: (N, 4).
+    im_h/im_w: true (unpadded) image extent for clipping.
+
+    The proposal path is non-differentiable (the reference detaches rois
+    before cropping, network.py:117) — gradients must not flow from the
+    ROI heads back into the RPN through box coordinates."""
+    scores = jax.lax.stop_gradient(scores)
+    deltas = jax.lax.stop_gradient(deltas)
+    boxes = decode_boxes(anchors, deltas)
+    boxes = clip_boxes(boxes, im_h, im_w)
+
+    k = min(pre_nms_n, scores.shape[0])
+    top_scores, order = jax.lax.top_k(scores, k)
+    top_boxes = boxes[order]
+
+    keep_idx, keep_mask = nms_padded(
+        top_boxes, jnp.ones((k,), dtype=bool), nms_thresh, post_nms_n)
+    return Proposals(top_boxes[keep_idx], top_scores[keep_idx], keep_mask)
+
+
+def proposal_top_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
+                       anchors: jnp.ndarray, im_h, im_w,
+                       top_n: int, key) -> Proposals:
+    """NMS-free variant: random-pad to top_n if fewer anchors than top_n,
+    else plain top-N by score (proposal_top_layer.py:18-67)."""
+    k = min(top_n, scores.shape[0])
+    top_scores, order = jax.lax.top_k(scores, k)
+    boxes = decode_boxes(anchors[order], deltas[order])
+    boxes = clip_boxes(boxes, im_h, im_w)
+    valid = jnp.ones((k,), dtype=bool)
+    return Proposals(boxes, top_scores, valid)

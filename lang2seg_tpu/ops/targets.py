@@ -1,0 +1,209 @@
+"""RPN anchor targets and ROI proposal targets as fixed-shape jit ops.
+
+The reference runs these on the host in NumPy mid-forward
+(`layer_utils/anchor_target_layer.py:19-153`,
+`layer_utils/proposal_target_layer.py:22-204`), crossing the host/device
+boundary twice per step. Here they are pure jit-able functions: dynamic
+candidate sets become validity masks, `npr.choice` subsampling becomes
+random-priority top-k (exactly uniform without replacement), and the
+per-ROI scipy mask-resize loop becomes a batched nearest-neighbor gather.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lang2seg_tpu.ops.boxes import box_iou, encode_boxes
+from lang2seg_tpu.ops.roi_align import roi_nearest_crop
+
+_BIG = 1e9
+
+
+def _random_rank(key, mask):
+    """Rank of each True element of `mask` in a uniformly-random order
+    (False elements get rank >= count). Enables 'choose k without
+    replacement' as rank < k."""
+    prio = jax.random.uniform(key, mask.shape) + (~mask) * _BIG
+    order = jnp.argsort(prio)                   # random perm of True first
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(mask.shape[0]))
+    return ranks
+
+
+class AnchorTargets(NamedTuple):
+    labels: jnp.ndarray            # (N,) int32 in {-1, 0, 1}
+    bbox_targets: jnp.ndarray      # (N, 4)
+    bbox_inside_w: jnp.ndarray     # (N,) 0/1
+    bbox_outside_w: jnp.ndarray    # (N,) per-anchor weight
+
+
+def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
+                   gt_valid: jnp.ndarray, im_h, im_w, key,
+                   rpn_batchsize: int = 256, fg_fraction: float = 0.5,
+                   pos_overlap: float = 0.7, neg_overlap: float = 0.3,
+                   clobber_positives: bool = False) -> AnchorTargets:
+    """RPN training targets.
+
+    anchors: (N, 4); gt_boxes: (M, 5) [x1 y1 x2 y2 cls]; gt_valid: (M,) bool;
+    im_h/im_w: scalar true image extent (anchors outside are don't-care).
+    Parity: anchor_target_layer.py:19-153 with border=0.
+    """
+    n = anchors.shape[0]
+    inside = ((anchors[:, 0] >= 0) & (anchors[:, 1] >= 0)
+              & (anchors[:, 2] < im_w) & (anchors[:, 3] < im_h))
+
+    iou = box_iou(anchors, gt_boxes[:, :4])               # (N, M)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou = jnp.where(inside[:, None], iou, -1.0)
+    argmax_gt = jnp.argmax(iou, axis=1)                   # (N,)
+    max_iou = jnp.max(iou, axis=1)                        # (N,)
+
+    # per-gt best anchors: any anchor matching the column max (ties included,
+    # matching np.where(overlaps == gt_max) in the reference)
+    gt_max = jnp.max(iou, axis=0)                         # (M,)
+    is_gt_best = jnp.any((iou == gt_max[None, :]) & gt_valid[None, :]
+                         & (gt_max[None, :] > -1.0), axis=1) & inside
+
+    neg = inside & (max_iou < neg_overlap)
+    pos = inside & (is_gt_best | (max_iou >= pos_overlap))
+    if clobber_positives:
+        pos = pos & ~(max_iou < neg_overlap)
+    else:
+        neg = neg & ~pos
+
+    # subsample positives to num_fg, negatives to batch - num_pos_kept
+    k_pos, k_neg = jax.random.split(key)
+    num_fg = int(fg_fraction * rpn_batchsize)
+    pos_rank = _random_rank(k_pos, pos)
+    pos_kept = pos & (pos_rank < num_fg)
+    num_pos_kept = jnp.sum(pos_kept)
+
+    num_bg = rpn_batchsize - num_pos_kept
+    neg_rank = _random_rank(k_neg, neg)
+    neg_kept = neg & (neg_rank < num_bg)
+
+    labels = jnp.where(pos_kept, 1, jnp.where(neg_kept, 0, -1)).astype(jnp.int32)
+
+    tgt = encode_boxes(anchors, gt_boxes[argmax_gt, :4])
+    tgt = jnp.where(inside[:, None], tgt, 0.0)
+
+    inside_w = (labels == 1).astype(jnp.float32)
+    num_examples = jnp.sum(labels >= 0).astype(jnp.float32)
+    outside_w = (labels >= 0).astype(jnp.float32) / jnp.maximum(num_examples, 1.0)
+
+    return AnchorTargets(labels, tgt, inside_w, outside_w)
+
+
+class ProposalTargets(NamedTuple):
+    rois: jnp.ndarray              # (R, 4) sampled rois [x1 y1 x2 y2]
+    labels: jnp.ndarray            # (R,) int32 class (0 = bg)
+    bbox_targets: jnp.ndarray      # (R, 4) compact per-roi deltas
+    bbox_weight: jnp.ndarray       # (R,) 1.0 for fg rois
+    mask_targets: jnp.ndarray      # (Fg_slots, S, S) float32 {0,1}
+    mask_weight: jnp.ndarray       # (Fg_slots,) 1.0 for true-fg slots
+    roi_valid: jnp.ndarray         # (R,) bool
+
+
+def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
+                     gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
+                     gt_masks: jnp.ndarray, key,
+                     num_rois: int = 256, fg_fraction: float = 0.25,
+                     fg_thresh: float = 0.5, bg_thresh_hi: float = 0.5,
+                     bg_thresh_lo: float = 0.0, mask_size: int = 14,
+                     normalize_means=(0., 0., 0., 0.),
+                     normalize_stds=(0.1, 0.1, 0.2, 0.2),
+                     use_gt: bool = False) -> ProposalTargets:
+    """Sample ROIs + build classification/regression/mask targets.
+
+    rois: (P, 4) proposals; gt_boxes: (M, 5); gt_masks: (M, H, W) {0,1}.
+    Output layout: fg slots first (0..num_fg_slots-1), then bg — matching
+    the reference's fg-then-bg concatenation so the mask head can run on
+    the leading slots only. Parity: proposal_target_layer.py:22-204 with
+    the no-fg GT-append fallback expressed as a mask (GT candidates enabled
+    iff use_gt or no proposal reaches fg_thresh).
+    """
+    num_fg_slots = int(round(fg_fraction * num_rois))
+    p = rois.shape[0]
+    m = gt_boxes.shape[0]
+
+    # candidate set = proposals ++ gt boxes
+    cand = jnp.concatenate([rois, gt_boxes[:, :4]], axis=0)     # (P+M, 4)
+    is_gt = jnp.arange(p + m) >= p
+
+    iou = box_iou(cand, gt_boxes[:, :4])
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    max_iou = jnp.max(iou, axis=1)
+    gt_assign = jnp.argmax(iou, axis=1)
+    cand_valid = jnp.concatenate([roi_valid, gt_valid], axis=0)
+
+    fg = cand_valid & (max_iou >= fg_thresh)
+    bg = cand_valid & (max_iou < bg_thresh_hi) & (max_iou >= bg_thresh_lo) & ~is_gt
+
+    # GT candidates participate only if use_gt, or as the no-fg fallback
+    prop_fg = fg & ~is_gt
+    any_prop_fg = jnp.any(prop_fg)
+    if not use_gt:
+        fg = jnp.where(is_gt, fg & ~any_prop_fg, fg)
+
+    fg_count = jnp.sum(fg)
+    bg_count = jnp.sum(bg)
+
+    k_fg, k_bg, k_rep = jax.random.split(key, 3)
+    fg_rank = _random_rank(k_fg, fg)
+    bg_rank = _random_rank(k_bg, bg)
+    # index of the candidate holding fg-rank r (random order over fg)
+    fg_by_rank = jnp.argsort(fg_rank)            # (P+M,), first fg_count are fg
+    bg_by_rank = jnp.argsort(bg_rank)
+
+    # how many fg slots are real fg: min(num_fg_slots, fg_count); when there
+    # are no bg candidates the reference fills all slots with fg sampled with
+    # replacement — approximate by repeating fg candidates cyclically.
+    all_fg = (bg_count == 0) & (fg_count > 0)
+    fg_take = jnp.where(all_fg, num_rois, jnp.minimum(num_fg_slots, fg_count))
+
+    slot = jnp.arange(num_rois)
+    is_fg_slot = slot < fg_take
+
+    safe_fg = jnp.maximum(fg_count, 1)
+    safe_bg = jnp.maximum(bg_count, 1)
+    # fg slots draw without replacement while slot < fg_count, then cycle
+    fg_src = fg_by_rank[jnp.mod(slot, safe_fg)]
+    # bg slots: without replacement if enough bg, else uniform with replacement
+    bg_pos = slot - fg_take
+    bg_wo = bg_by_rank[jnp.clip(bg_pos, 0, p + m - 1) % safe_bg]
+    bg_rand = jax.random.randint(k_rep, (num_rois,), 0, safe_bg)
+    bg_wr = bg_by_rank[bg_rand]
+    need_bg = num_rois - fg_take
+    bg_src = jnp.where(bg_count >= need_bg, bg_wo, bg_wr)
+
+    sel = jnp.where(is_fg_slot, fg_src, bg_src)              # (R,) candidate idx
+
+    out_rois = cand[sel]
+    out_valid = jnp.where(is_fg_slot, fg[sel], bg[sel])
+    gt_idx = gt_assign[sel]
+    labels = jnp.where(is_fg_slot & out_valid,
+                       gt_boxes[gt_idx, 4].astype(jnp.int32), 0)
+
+    # compact bbox regression targets (expanded-by-class only at the loss,
+    # which is mathematically identical to the reference's (R, 4K) layout)
+    tgt = encode_boxes(out_rois, gt_boxes[gt_idx, :4])
+    means = jnp.asarray(normalize_means, dtype=tgt.dtype)
+    stds = jnp.asarray(normalize_stds, dtype=tgt.dtype)
+    tgt = (tgt - means) / stds
+    bbox_w = (labels > 0).astype(jnp.float32)
+    tgt = tgt * bbox_w[:, None]
+
+    # mask targets for the fg slots
+    fg_rois = out_rois[:num_fg_slots]
+    fg_gt = gt_idx[:num_fg_slots]
+
+    def crop_one(mask_2d, roi):
+        return roi_nearest_crop(mask_2d, roi[None, :], mask_size)[0]
+
+    mask_t = jax.vmap(crop_one)(gt_masks[fg_gt].astype(jnp.float32), fg_rois)
+    mask_w = (is_fg_slot[:num_fg_slots] & out_valid[:num_fg_slots]).astype(jnp.float32)
+
+    return ProposalTargets(out_rois, labels, tgt, bbox_w, mask_t, mask_w,
+                           out_valid)
