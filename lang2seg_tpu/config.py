@@ -29,6 +29,8 @@ class TrainConfig:
     double_bias: bool = False               # biases get lr*(1+double_bias)
     bias_decay: bool = False                # apply weight decay to biases
     truncated: bool = False                 # truncated-normal init
+    grad_clip_norm: float = 0.0             # 0 = off (reference ships
+                                            # clip_gradient in misc/utils)
     # 10x LR for language/dynamic-filter/response params
     # (reference train_val.py:193-198; disabled in cycle variants)
     lang_lr_mult: float = 10.0
@@ -112,9 +114,14 @@ class ModelConfig:
     rnn_type: str = "lstm"
     variable_lengths: bool = True
 
+    # language conditioning on/off (off = plain Mask R-CNN, the
+    # coco_minus_refer pretraining capability, SURVEY §3.5)
+    use_language: bool = True
+
     # dynamic-filter conditioning
     num_filters: int = 1                    # 1 (baseline) | 7 (spatial)
     response_gate: str = "multiply"         # 'multiply' | 'sigmoid' (response variants)
+    normalize_response: bool = False        # 1/sqrt(C) response scaling (scratch-training aid)
 
     # loss set (the reference's per-variant network files collapse to this)
     use_mask_head: bool = True              # False for vgg detection-only variant

@@ -1,0 +1,310 @@
+"""Training/eval batchers producing fixed-shape TPU canvases.
+
+Capability parity with the reference loaders:
+  * Loader base (lib/loaders/loader.py:70-167): vocab maps, ref/img/ann/
+    sentence indices, encode/decode/fetch of token sequences.
+  * GtMRCNLoader (gt_mrcn_loader.py:143-851): per-split permuted image
+    iterator with wrap detection; image blob = BGR float mean-subtracted,
+    min-side 600 / max-side 1000 resize; GT ref boxes xywh->xyxy scaled;
+    GT masks decoded from per-ref RLE and nearest-resized to the blob.
+  * CycleLoader (cycle_loader.py:297-309): caption targets = tokens in a
+    (L+2) frame with BOS/EOS slots, mask = 1 over (#tokens + 2) entries.
+
+TPU departures: images land in a FIXED canvas (cfg.data.canvas_h/w, scale
+additionally capped to fit) so every batch compiles once; the train batch
+is (I images, E expressions) with img_idx indexing local images (the
+reference steps one sentence at a time); mask decode+resize runs through
+the native batched RLE op. Iterator state (perm + positions) is exposed
+for checkpointing (state_dict/load_state_dict — parity with the
+reference's pickled loader iterators, train_val.py:75-78).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.data import rle as rle_codec
+
+
+def xywh_to_xyxy(boxes: np.ndarray) -> np.ndarray:
+    out = boxes.astype(np.float32).copy()
+    out[..., 2] = out[..., 0] + out[..., 2] - 1
+    out[..., 3] = out[..., 1] + out[..., 3] - 1
+    return out
+
+
+class Loader:
+    """Vocab + index base (reference loader.py:70-167)."""
+
+    def __init__(self, data_json: str, data_h5: Optional[str] = None):
+        with open(data_json) as f:
+            info = json.load(f)
+        self.word_to_ix: Dict[str, int] = info["word_to_ix"]
+        self.ix_to_word = {int(k): v for k, v in info["ix_to_word"].items()}
+        self.vocab_size = len(self.word_to_ix)
+        self.refs = info["refs"]
+        self.images = info["images"]
+        self.anns = info["anns"]
+        self.sentences = info["sentences"]
+        self.Refs = {r["ref_id"]: r for r in self.refs}
+        self.Images = {i["image_id"]: i for i in self.images}
+        self.Anns = {a["ann_id"]: a for a in self.anns}
+        self.Sentences = {s["sent_id"]: s for s in self.sentences}
+        self.sent_to_h5 = {s["sent_id"]: s["h5_id"] for s in self.sentences}
+
+        if data_h5 is not None:
+            import h5py
+            with h5py.File(data_h5, "r") as f:
+                self.labels = np.asarray(f["labels"][...], np.int32)
+            assert self.labels.shape[0] == len(self.sentences), \
+                "label rows must match sentence count"
+        else:
+            self.labels = None
+
+    @property
+    def max_length(self) -> int:
+        return self.labels.shape[1]
+
+    def encode_labels(self, token_lists: List[List[str]]) -> np.ndarray:
+        out = np.zeros((len(token_lists), self.max_length), np.int32)
+        unk = self.word_to_ix.get("<UNK>", 0)
+        for i, toks in enumerate(token_lists):
+            for j, w in enumerate(toks[:self.max_length]):
+                out[i, j] = self.word_to_ix.get(w, unk)
+        return out
+
+    def decode_labels(self, labels: np.ndarray) -> List[str]:
+        out = []
+        for row in labels:
+            words = [self.ix_to_word[int(i)] for i in row if int(i) != 0]
+            out.append(" ".join(words))
+        return out
+
+    def fetch_seq(self, sent_id) -> np.ndarray:
+        return self.labels[self.sent_to_h5[sent_id]]
+
+
+class GtBatchLoader(Loader):
+    """Fixed-canvas batcher over (image, ref, sentence) structure."""
+
+    def __init__(self, data_json: str, data_h5: str, cfg: Config,
+                 image_dir: Optional[str] = None, seed: int = 3):
+        super().__init__(data_json, data_h5)
+        self.cfg = cfg
+        self.image_dir = image_dir or cfg.data.image_dir
+        self.rng = np.random.RandomState(seed)
+
+        # split -> image ids having refs in that split
+        self.split_ix: Dict[str, List[int]] = {}
+        for img in self.images:
+            splits = {self.Refs[rid]["split"] for rid in img["ref_ids"]}
+            for sp in splits:
+                self.split_ix.setdefault(sp, []).append(img["image_id"])
+        self.iterators = {sp: 0 for sp in self.split_ix}
+        self.perm = {sp: self.rng.permutation(len(v))
+                     for sp, v in self.split_ix.items()}
+
+    # ---- iterator state (checkpointable) ----
+
+    def state_dict(self) -> Dict:
+        return {"iterators": dict(self.iterators),
+                "perm": {k: v.copy() for k, v in self.perm.items()},
+                "rng_state": self.rng.get_state()}
+
+    def load_state_dict(self, state: Dict):
+        self.iterators.update(state["iterators"])
+        for k, v in state["perm"].items():
+            self.perm[k] = np.asarray(v)
+        self.rng.set_state(state["rng_state"])
+
+    def reset_iterator(self, split: str):
+        self.iterators[split] = 0
+
+    # ---- image handling ----
+
+    def _read_image(self, img_rec: Dict) -> np.ndarray:
+        path = os.path.join(self.image_dir, img_rec["file_name"])
+        import cv2
+        im = cv2.imread(path)
+        if im is None:
+            raise FileNotFoundError(path)
+        return im  # BGR uint8
+
+    def _scale_for(self, h: int, w: int) -> float:
+        t = self.cfg.train
+        d = self.cfg.data
+        scale = min(float(t.scales[0]) / min(h, w),
+                    float(t.max_size) / max(h, w))
+        # cap to the fixed canvas (TPU static shapes)
+        scale = min(scale, d.canvas_h / h, d.canvas_w / w)
+        return scale
+
+    def _image_to_canvas(self, im: np.ndarray) -> Tuple[np.ndarray, float,
+                                                        int, int]:
+        import cv2
+        d = self.cfg.data
+        h, w = im.shape[:2]
+        scale = self._scale_for(h, w)
+        resized = cv2.resize(im.astype(np.float32), None, fx=scale, fy=scale,
+                             interpolation=cv2.INTER_LINEAR)
+        resized -= np.asarray(d.pixel_means_bgr, np.float32)
+        canvas = np.zeros((d.canvas_h, d.canvas_w, 3), np.float32)
+        sh, sw = resized.shape[:2]
+        canvas[:sh, :sw] = resized
+        return canvas, scale, sh, sw
+
+    def _ref_masks_to_canvas(self, ref_ids: List[int], sh: int,
+                             sw: int) -> np.ndarray:
+        d = self.cfg.data
+        rles = [self.Refs[rid]["rle"] for rid in ref_ids]
+        return rle_codec.decode_resize_batch(rles, d.canvas_h, d.canvas_w,
+                                             sh, sw)
+
+    # ---- batching ----
+
+    def _next_image_ids(self, split: str, n: int) -> Tuple[List[int], bool]:
+        ids, wrapped = [], False
+        order = self.split_ix[split]
+        for _ in range(n):
+            ri = self.iterators[split]
+            if ri >= len(order):
+                self.perm[split] = self.rng.permutation(len(order))
+                self.iterators[split] = 0
+                ri = 0
+                wrapped = True
+            ids.append(order[self.perm[split][ri]])
+            self.iterators[split] = ri + 1
+        return ids, wrapped
+
+    def get_batch(self, split: str = "train",
+                  num_images: Optional[int] = None,
+                  num_expr: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Fixed-shape training batch: I images, E expressions sampled
+        from those images' (ref, sentence) pools (with replacement when
+        fewer than E exist)."""
+        t, d, m = self.cfg.train, self.cfg.data, self.cfg.model
+        num_images = num_images or t.images_per_batch
+        num_expr = num_expr or t.expressions_per_batch
+        img_ids, wrapped = self._next_image_ids(split, num_images)
+
+        images = np.zeros((num_images, d.canvas_h, d.canvas_w, 3),
+                          np.float32)
+        im_hw = np.zeros((num_images, 2), np.float32)
+        scales = np.zeros((num_images,), np.float32)
+        pool = []  # (local_img_idx, ref_id, sent_id)
+        per_image_extent = []
+        for li, iid in enumerate(img_ids):
+            rec = self.Images[iid]
+            canvas, scale, sh, sw = self._image_to_canvas(
+                self._read_image(rec))
+            images[li] = canvas
+            im_hw[li] = (sh, sw)
+            scales[li] = scale
+            per_image_extent.append((sh, sw))
+            for rid in rec["ref_ids"]:
+                ref = self.Refs[rid]
+                if split and ref["split"] != split:
+                    continue
+                for sid in ref["sent_ids"]:
+                    pool.append((li, rid, sid))
+
+        assert pool, f"no expressions for images {img_ids} in split {split}"
+        take = [pool[i] for i in
+                self.rng.choice(len(pool), size=num_expr,
+                                replace=len(pool) < num_expr)] \
+            if len(pool) != num_expr else pool
+
+        img_idx = np.asarray([p[0] for p in take], np.int32)
+        labels = np.stack([self.fetch_seq(p[2]) for p in take])
+        gt_boxes = np.zeros((num_expr, 5), np.float32)
+        gt_masks = np.zeros((num_expr, d.canvas_h, d.canvas_w), np.uint8)
+        for ei, (li, rid, sid) in enumerate(take):
+            ref = self.Refs[rid]
+            box = xywh_to_xyxy(np.asarray(ref["box"], np.float32))
+            gt_boxes[ei, :4] = box * scales[li]
+            gt_boxes[ei, 4] = ref["category_id"]
+            sh, sw = per_image_extent[li]
+            gt_masks[ei] = self._ref_masks_to_canvas([rid], sh, sw)[0]
+
+        batch = {"images": images, "im_hw": im_hw, "labels": labels,
+                 "img_idx": img_idx, "gt_boxes": gt_boxes,
+                 "gt_masks": gt_masks, "im_scales": scales,
+                 "wrapped": wrapped}
+        if m.use_caption_loss:
+            batch.update(self._caption_targets(labels))
+        return batch
+
+    def _caption_targets(self, labels: np.ndarray) -> Dict[str, np.ndarray]:
+        """BOS/EOS-framed caption labels + masks
+        (cycle_loader.py:297-309)."""
+        e, L = labels.shape
+        cap = np.zeros((e, L + 2), np.int32)
+        cap[:, 1:-1] = labels
+        nonzeros = (cap != 0).sum(axis=1) + 2
+        mask = (np.arange(L + 2)[None, :] < nonzeros[:, None]) \
+            .astype(np.float32)
+        return {"cap_labels": cap, "cap_masks": mask}
+
+    def get_test_batch(self, split: str,
+                       max_sents: Optional[int] = None
+                       ) -> Dict[str, np.ndarray]:
+        """One image with ALL its sentences of the split, padded to
+        max_sents slots with sent_valid (reference getTestBatch,
+        gt_mrcn_loader.py:633)."""
+        d = self.cfg.data
+        img_ids, wrapped = self._next_image_ids(split, 1)
+        rec = self.Images[img_ids[0]]
+        canvas, scale, sh, sw = self._image_to_canvas(self._read_image(rec))
+
+        triples = []
+        for rid in rec["ref_ids"]:
+            ref = self.Refs[rid]
+            if ref["split"] != split:
+                continue
+            for sid in ref["sent_ids"]:
+                triples.append((rid, sid))
+        s_real = len(triples)
+        s_pad = max_sents or s_real
+        assert s_real > 0
+
+        labels = np.zeros((s_pad, self.max_length), np.int32)
+        gt_boxes = np.zeros((s_pad, 5), np.float32)
+        gt_masks = np.zeros((s_pad, d.canvas_h, d.canvas_w), np.uint8)
+        sent_valid = np.zeros((s_pad,), bool)
+        for i, (rid, sid) in enumerate(triples[:s_pad]):
+            ref = self.Refs[rid]
+            labels[i] = self.fetch_seq(sid)
+            box = xywh_to_xyxy(np.asarray(ref["box"], np.float32))
+            gt_boxes[i, :4] = box * scale
+            gt_boxes[i, 4] = ref["category_id"]
+            gt_masks[i] = self._ref_masks_to_canvas([rid], sh, sw)[0]
+            sent_valid[i] = True
+
+        return {"images": canvas[None], "im_hw": np.asarray([[sh, sw]],
+                                                            np.float32),
+                "labels": labels, "gt_boxes": gt_boxes,
+                "gt_masks": gt_masks, "sent_valid": sent_valid,
+                "im_scale": scale, "wrapped": wrapped,
+                "image_id": rec["image_id"]}
+
+    def iter_test_batches(self, split: str, max_sents: int = 32):
+        """Yield every image of the split exactly once."""
+        self.reset_iterator(split)
+        n = len(self.split_ix[split])
+        for _ in range(n):
+            yield self.get_test_batch(split, max_sents=max_sents)
+
+
+class CycleBatchLoader(GtBatchLoader):
+    """Alias with caption targets always on (reference CycleLoader)."""
+
+    def get_batch(self, *a, **kw):
+        batch = super().get_batch(*a, **kw)
+        if "cap_labels" not in batch:
+            batch.update(self._caption_targets(batch["labels"]))
+        return batch

@@ -1,0 +1,101 @@
+"""Captioner pretraining.
+
+The reference trains the att2in2 captioner separately (README steps 3/5:
+`caption_log_res5_2/`, `caption_log_response/` produce `model-best.pth`
+restored by caption_models/__init__.py:45-52). Here: extract (fc, att)
+region features with a (pretrained) backbone, teacher-force the decoder,
+Adam, periodic validation NLL with best-checkpoint tracking.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.models.caption_zoo import setup_captioner
+from lang2seg_tpu.models.network import Lang2Seg, _adaptive_pool
+
+
+class CaptionerTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: tuple
+    rng: jnp.ndarray
+
+
+def extract_caption_features(model: Lang2Seg, params, batch,
+                             cfg: Config):
+    """Whole-image + GT-mask-gated res5 features -> (fc (E, 2D),
+    att (E, 196, 2D)) — the 'res5_2' pairing of
+    network_cycle_res5_2.py:415-448."""
+
+    def run(mdl):
+        m = cfg.model
+        net_conv = mdl.backbone.head(batch["images"])[batch["img_idx"]]
+        stride = m.feat_stride
+        gm = batch["gt_masks"].astype(jnp.float32)
+        if gm.ndim == 4:
+            gm = gm[:, 0]
+        h, w = net_conv.shape[1], net_conv.shape[2]
+        mk = gm[:, stride // 2::stride, stride // 2::stride][:, :h, :w]
+        mk = (mk >= 0.5).astype(net_conv.dtype)
+        fa = mdl.backbone.tail(net_conv)
+        fb = mdl.backbone.tail(net_conv * mk[..., None])
+        fc = jnp.concatenate([fa.mean(axis=(1, 2)), fb.mean(axis=(1, 2))],
+                             axis=-1)
+        att = jnp.concatenate([_adaptive_pool(fa, 14),
+                               _adaptive_pool(fb, 14)], axis=-1)
+        e = att.shape[0]
+        return fc.astype(jnp.float32), att.reshape(e, 196, -1).astype(
+            jnp.float32)
+
+    return model.apply({"params": params}, method=lambda mdl: run(mdl))
+
+
+def make_captioner_train_step(captioner, lr: float = 5e-4):
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def step(state: CaptionerTrainState, fc, att, seq, mask):
+        rng, d_rng = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            return captioner.apply(
+                {"params": p}, fc, att, seq, mask, True,
+                rngs={"dropout": d_rng},
+                method=type(captioner).teacher_forced_nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return CaptionerTrainState(step=state.step + 1, params=new_params,
+                                   opt_state=new_opt, rng=rng), loss
+
+    return step, tx
+
+
+def init_captioner_state(cfg: Config, rng=None) -> Tuple:
+    captioner = setup_captioner(cfg.model)
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    init_rng, d_rng, state_rng = jax.random.split(rng, 3)
+    m = cfg.model
+    t = m.cap_seq_length + 2
+    fc = jnp.zeros((1, m.cap_fc_feat_size))
+    att = jnp.zeros((1, 196, m.cap_att_feat_size))
+    seq = jnp.zeros((1, t), jnp.int32)
+    mask = jnp.ones((1, t))
+    variables = captioner.init({"params": init_rng, "dropout": d_rng},
+                               fc, att, seq, mask, True,
+                               method=type(captioner).teacher_forced_nll)
+    step_fn, tx = make_captioner_train_step(captioner)
+    state = CaptionerTrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]), rng=state_rng)
+    return captioner, state, step_fn

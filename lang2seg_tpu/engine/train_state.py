@@ -1,0 +1,98 @@
+"""Train state + jitted train step.
+
+One fused jit region per step: forward (backbone shared across expressions)
+-> losses -> backward -> SGD update. The reference's equivalent spans six
+host/device crossings and one optimizer step per sentence
+(`nets/network.py:659-676`, `model/train_val.py:337-409`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.engine.optimizer import build_optimizer
+from lang2seg_tpu.models.network import Lang2Seg
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def create_model(cfg: Config) -> Lang2Seg:
+    return Lang2Seg(cfg=cfg)
+
+
+def init_params(model: Lang2Seg, cfg: Config, rng) -> Any:
+    d = cfg.data
+    # param shapes are independent of the spatial canvas — init executes
+    # the forward eagerly, so use a minimal 64x64 canvas to keep init fast
+    ih = iw = 64
+    dummy = {
+        "images": jnp.zeros((1, ih, iw, 3), jnp.float32),
+        "im_hw": jnp.asarray([[ih, iw]], jnp.float32),
+        "img_idx": jnp.zeros((1,), jnp.int32),
+        "gt_boxes": jnp.asarray([[[10.0, 10.0, 50.0, 50.0, 1.0]]]),
+        "gt_valid": jnp.ones((1, 1), bool),
+        "gt_masks": jnp.zeros((1, 1, ih, iw), jnp.uint8),
+    }
+    if cfg.model.use_language:
+        dummy["labels"] = jnp.ones((1, d.max_len), jnp.int32)
+    if cfg.model.use_caption_loss:
+        t = cfg.model.cap_seq_length + 2
+        dummy["cap_labels"] = jnp.ones((1, t), jnp.int32)
+        dummy["cap_masks"] = jnp.ones((1, t), jnp.float32)
+    p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng, "sampling": s_rng},
+        dummy, method=Lang2Seg.train_forward)
+    return variables["params"]
+
+
+def create_train_state(cfg: Config, rng=None):
+    """Returns (model, tx, state)."""
+    model = create_model(cfg)
+    init_rng, state_rng = jax.random.split(jax.random.PRNGKey(cfg.seed)
+                                           if rng is None else rng)
+    params = init_params(model, cfg, init_rng)
+    tx = build_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt_state, rng=state_rng)
+    return model, tx, state
+
+
+def make_train_step(model: Lang2Seg, cfg: Config,
+                    tx: optax.GradientTransformation):
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch,
+                rngs={"dropout": d_rng, "sampling": s_rng},
+                method=Lang2Seg.train_forward)
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt, rng=rng), losses
+
+    return train_step
+
+
+def train_step(*args, **kw):  # back-compat alias used in __init__
+    raise NotImplementedError("use make_train_step(model, cfg, tx)")

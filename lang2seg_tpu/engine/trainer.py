@@ -1,0 +1,151 @@
+"""Training driver.
+
+Parity with SolverWrapper.train_model (`model/train_val.py:308-409`):
+loss display every `display` iters with `speed: s/iter`, snapshot every
+SNAPSHOT_ITERS (+ extra snapshot right before each LR decay boundary,
+train_val.py:353-355), resume from the newest snapshot incl. loader
+iterator + RNG state, metrics written as TB-style scalars (here: JSONL
+event log, tensorboardX not being a dependency) every summary_interval.
+
+The LR schedule itself lives in the optimizer (optax piecewise); the
+trainer only mirrors the reference's snapshot-at-boundary behavior.
+
+One iteration = one jitted step over (I images x E expressions) —
+E reference iterations' worth of sentences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from typing import Tuple
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.engine.checkpoint import CheckpointManager
+from lang2seg_tpu.engine.train_state import (create_train_state,
+                                             make_train_step)
+from lang2seg_tpu.utils.timer import Timer
+
+
+class MetricsWriter:
+    """Append-only JSONL scalar event log (capability parity with the
+    reference's tensorboardX FileWriter pair, train_val.py:209-210)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._f = open(path, "a")
+
+    def scalars(self, step: int, values: Dict[str, float], tag: str = ""):
+        rec = {"step": step, "tag": tag,
+               **{k: float(v) for k, v in values.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class Trainer:
+    def __init__(self, cfg: Config, loader, output_dir: str,
+                 val_loader=None, prefetch_depth: int = 2):
+        self.cfg = cfg
+        self.loader = loader
+        self.val_loader = val_loader
+        self.output_dir = output_dir
+        self.prefetch_depth = prefetch_depth
+        self.model, self.tx, self.state = create_train_state(cfg)
+        self.step_fn = make_train_step(self.model, cfg, self.tx)
+        self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"),
+                                      keep=cfg.train.snapshot_kept)
+        self.writer = MetricsWriter(os.path.join(output_dir, "events.jsonl"))
+        self.timer = Timer()
+
+    # ---- snapshot / resume (train_val.py:57-159 semantics) ----
+
+    def snapshot(self, step: int):
+        host = {"loader_state": self.loader.state_dict()
+                if hasattr(self.loader, "state_dict") else None}
+        self.ckpt.save(step, self.state, host)
+
+    def try_resume(self) -> Optional[int]:
+        prev = self.ckpt.find_previous()
+        if prev is None:
+            return None
+        self.state, host = self.ckpt.restore(prev, self.state)
+        if host.get("loader_state") and hasattr(self.loader,
+                                                "load_state_dict"):
+            self.loader.load_state_dict(host["loader_state"])
+        if "np_random_state" in host:
+            np.random.set_state(host["np_random_state"])
+        print(f"resumed from snapshot iter_{prev}")
+        return prev
+
+    # ---- main loop ----
+
+    def train(self, max_iters: Optional[int] = None,
+              load_pretrained=None,
+              profile_dir: Optional[str] = None,
+              profile_steps: Tuple[int, int] = (10, 15)) -> Dict[str, float]:
+        """profile_dir: when set, captures a jax.profiler trace over
+        iterations [profile_steps) (TPU-equivalent of the reference's
+        synchronized Timer instrumentation, SURVEY §5)."""
+        t = self.cfg.train
+        max_iters = max_iters or t.max_iters
+        start = self.try_resume() or 0
+        if start == 0 and load_pretrained is not None:
+            from lang2seg_tpu.engine.checkpoint import tolerant_restore_params
+            self.state = self.state.replace(
+                params=tolerant_restore_params(self.state.params,
+                                               load_pretrained))
+
+        next_decay = [s for s in t.stepsize if s > start]
+        last_losses: Dict[str, float] = {}
+        from lang2seg_tpu.data.prefetch import Prefetcher
+        prefetcher = Prefetcher(lambda: self.loader.get_batch("train"),
+                                depth=self.prefetch_depth)
+        it = start
+        while it < max_iters:
+            if profile_dir is not None and it == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir is not None and it == profile_steps[1]:
+                jax.profiler.stop_trace()
+            self.timer.tic("step")
+            batch = prefetcher.get()
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k not in ("wrapped", "im_scales")}
+            self.state, losses = self.step_fn(self.state, dev_batch)
+            it += 1
+
+            if it % t.display == 0 or it == max_iters:
+                jax.block_until_ready(losses["total_loss"])
+                dt = self.timer.toc("step")
+                last_losses = {k: float(v) for k, v in losses.items()}
+                msg = ", ".join(f"{k}={v:.4f}" for k, v in
+                                sorted(last_losses.items()))
+                print(f"iter {it}/{max_iters}: {msg}, "
+                      f"speed: {dt:.3f}s/iter")
+            else:
+                self.timer.toc("step")
+
+            if it % t.summary_interval == 0:
+                self.writer.scalars(it,
+                                    {k: float(v) for k, v in losses.items()})
+
+            # snapshot right before an LR decay boundary, then at cadence
+            if next_decay and it == next_decay[0]:
+                self.snapshot(it)
+                next_decay.pop(0)
+            elif it % t.snapshot_iters == 0:
+                self.snapshot(it)
+
+        prefetcher.close()
+        if it % t.snapshot_iters != 0:
+            self.snapshot(it)
+        return last_losses

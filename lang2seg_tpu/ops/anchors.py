@@ -38,18 +38,31 @@ def generate_base_anchors(base_size: int = 16,
     return np.asarray(anchors, dtype=np.float32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _shifted_anchors_np(height: int, width: int, feat_stride: int,
+                        scales, ratios) -> np.ndarray:
+    base = generate_base_anchors(16, ratios, scales)             # (A, 4)
+    sx = np.arange(width, dtype=np.float32) * feat_stride
+    sy = np.arange(height, dtype=np.float32) * feat_stride
+    shift = np.stack(
+        [np.tile(sx[None, :], (height, 1)),
+         np.tile(sy[:, None], (1, width)),
+         np.tile(sx[None, :], (height, 1)),
+         np.tile(sy[:, None], (1, width))], axis=-1)             # (H, W, 4)
+    all_anchors = shift[:, :, None, :] + base[None, None, :, :]  # (H, W, A, 4)
+    return np.ascontiguousarray(all_anchors.reshape(-1, 4))
+
+
 def shifted_anchors(height: int, width: int, feat_stride: int,
                     scales=(8, 16, 32), ratios=(0.5, 1, 2)) -> jnp.ndarray:
     """All anchors over an H x W feature grid: (H*W*A, 4) float32,
-    ordered (H, W, A)."""
-    base = jnp.asarray(generate_base_anchors(16, ratios, scales))  # (A, 4)
-    sx = jnp.arange(width, dtype=jnp.float32) * feat_stride
-    sy = jnp.arange(height, dtype=jnp.float32) * feat_stride
-    # shifts (H, W, 4) = [x, y, x, y]
-    shift = jnp.stack(
-        [jnp.tile(sx[None, :], (height, 1)),
-         jnp.tile(sy[:, None], (1, width)),
-         jnp.tile(sx[None, :], (height, 1)),
-         jnp.tile(sy[:, None], (1, width))], axis=-1)
-    all_anchors = shift[:, :, None, :] + base[None, None, :, :]  # (H, W, A, 4)
-    return all_anchors.reshape(-1, 4)
+    ordered (H, W, A).
+
+    Computed in NumPy on the host and embedded as a literal constant —
+    keeping the generation out of the traced graph both saves compile
+    time and avoids XLA constant-folding of the construction."""
+    return jnp.asarray(_shifted_anchors_np(height, width, feat_stride,
+                                           tuple(scales), tuple(ratios)))

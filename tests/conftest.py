@@ -7,10 +7,28 @@ SURVEY.md §4): sharding/pjit tests run against 8 virtual CPU devices.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME does force
+# the CPU client on this stack
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# persistent compilation cache: this host has ONE cpu core — caching
+# compiled executables across test runs cuts suite time from ~30min to
+# seconds on re-runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/lang2seg_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+# a site plugin may import jax before this conftest runs, making the env
+# vars too late for platform selection on this stack — the config API
+# still works until the backend initializes
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

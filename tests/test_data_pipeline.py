@@ -1,0 +1,136 @@
+"""End-to-end data pipeline tests: fixture dataset -> REFER -> prepro ->
+loaders -> fixed-shape batches."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.data.fixtures import make_mini_refer
+from lang2seg_tpu.data.loader import (CycleBatchLoader, GtBatchLoader,
+                                      xywh_to_xyxy)
+from lang2seg_tpu.data.prepro import run_prepro
+from lang2seg_tpu.data.refer import REFER
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refer_data"))
+    make_mini_refer(root)
+    out = os.path.join(root, "prepro")
+    jp, hp = run_prepro(root, "refcoco", "unc", out, count_threshold=0)
+    return root, jp, hp
+
+
+def make_cfg(root):
+    cfg = Config()
+    cfg.data.canvas_h = 128
+    cfg.data.canvas_w = 192
+    cfg.data.image_dir = os.path.join(root, "images", "train2014")
+    cfg.train.expressions_per_batch = 4
+    cfg.train.images_per_batch = 2
+    return cfg
+
+
+def test_refer_api(dataset):
+    root, _, _ = dataset
+    refer = REFER(root, "refcoco", "unc")
+    train_refs = refer.getRefIds(split="train")
+    val_refs = refer.getRefIds(split="val")
+    testa_refs = refer.getRefIds(split="testA")
+    assert len(train_refs) == 8 and len(val_refs) == 2 \
+        and len(testa_refs) == 2
+    r = refer.loadRefs(train_refs[0])[0]
+    m = refer.getMask(r)
+    assert m["mask"].shape == (120, 160)
+    assert m["area"] > 0
+    # mask covers the annotated box
+    x, y, bw, bh = refer.Anns[r["ann_id"]]["bbox"]
+    assert m["mask"][int(y + bh / 2), int(x + bw / 2)] == 1
+    img_ids = refer.getImgIds(ref_ids=train_refs)
+    assert len(img_ids) == 4
+
+
+def test_prepro_vocab_and_labels(dataset):
+    root, jp, hp = dataset
+    loader = GtBatchLoader(jp, hp, make_cfg(root))
+    assert loader.word_to_ix["<PAD>"] == 0
+    for sp in ("<BOS>", "<EOS>"):
+        assert sp in loader.word_to_ix
+    assert "person" in loader.word_to_ix     # category word injected
+    # labels decode back to token strings
+    s = loader.sentences[0]
+    dec = loader.decode_labels(loader.labels[s["h5_id"]][None])[0]
+    assert dec == " ".join(s["tokens"][:loader.max_length])
+
+
+def test_train_batch_shapes_and_scaling(dataset):
+    root, jp, hp = dataset
+    cfg = make_cfg(root)
+    loader = GtBatchLoader(jp, hp, cfg)
+    b = loader.get_batch("train")
+    assert b["images"].shape == (2, 128, 192, 3)
+    assert b["labels"].shape == (4, loader.max_length)
+    assert b["gt_boxes"].shape == (4, 5)
+    assert b["gt_masks"].shape == (4, 128, 192)
+    assert set(np.unique(b["img_idx"])) <= {0, 1}
+    # boxes lie inside the scaled image extent of their image
+    for e in range(4):
+        sh, sw = b["im_hw"][b["img_idx"][e]]
+        x1, y1, x2, y2, c = b["gt_boxes"][e]
+        assert 0 <= x1 <= x2 < sw + 1 and 0 <= y1 <= y2 < sh + 1
+        assert c in (1, 18, 62)
+        # mask roughly covers the box
+        assert b["gt_masks"][e, int((y1 + y2) / 2), int((x1 + x2) / 2)] == 1
+    # canvas padding region is zero (mean-subtracted zeros are nonzero,
+    # but beyond sh/sw everything must be exactly 0)
+    sh, sw = b["im_hw"][0].astype(int)
+    assert (b["images"][0, sh:, :, :] == 0).all()
+    assert (b["images"][0, :, sw:, :] == 0).all()
+
+
+def test_iterator_wraps_and_state_roundtrip(dataset):
+    root, jp, hp = dataset
+    cfg = make_cfg(root)
+    loader = GtBatchLoader(jp, hp, cfg)
+    wrapped = [loader.get_batch("train")["wrapped"] for _ in range(4)]
+    assert any(wrapped)   # 4 train images / 2 per batch -> wrap by batch 3
+
+    state = loader.state_dict()
+    b1 = loader.get_batch("train")
+    loader.load_state_dict(state)
+    b2 = loader.get_batch("train")
+    np.testing.assert_array_equal(b1["labels"], b2["labels"])
+    np.testing.assert_array_equal(b1["img_idx"], b2["img_idx"])
+
+
+def test_test_batch(dataset):
+    root, jp, hp = dataset
+    cfg = make_cfg(root)
+    loader = GtBatchLoader(jp, hp, cfg)
+    batches = list(loader.iter_test_batches("val", max_sents=8))
+    assert len(batches) == 1      # one val image
+    b = batches[0]
+    assert b["images"].shape[0] == 1
+    assert b["sent_valid"].sum() == 4   # 2 refs x 2 sents
+    assert b["labels"][b["sent_valid"]].max() > 0
+
+
+def test_cycle_loader_caption_targets(dataset):
+    root, jp, hp = dataset
+    cfg = make_cfg(root)
+    loader = CycleBatchLoader(jp, hp, cfg)
+    b = loader.get_batch("train")
+    L = loader.max_length
+    assert b["cap_labels"].shape == (4, L + 2)
+    assert (b["cap_labels"][:, 0] == 0).all()
+    assert (b["cap_labels"][:, -1] == 0).all()
+    np.testing.assert_array_equal(b["cap_labels"][:, 1:-1], b["labels"])
+    ntok = (b["labels"] != 0).sum(1)
+    np.testing.assert_array_equal(b["cap_masks"].sum(1), ntok + 2)
+
+
+def test_xywh_to_xyxy():
+    out = xywh_to_xyxy(np.array([[10.0, 20.0, 5.0, 8.0]]))
+    np.testing.assert_array_equal(out, [[10, 20, 14, 27]])

@@ -1,0 +1,135 @@
+"""End-to-end smoke + regression tests for the full model on tiny shapes
+(CPU). Uses a small config so jit compiles fast: 128x192 canvas, resnet50,
+few proposals."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lang2seg_tpu.config import Config
+from lang2seg_tpu.data.synthetic import synthetic_batch, synthetic_test_batch
+from lang2seg_tpu.engine.train_state import (create_train_state,
+                                             make_train_step)
+from lang2seg_tpu.models.network import Lang2Seg
+
+
+def tiny_config(**model_kw) -> Config:
+    cfg = Config()
+    cfg.data.canvas_h = 128
+    cfg.data.canvas_w = 192
+    cfg.model.backbone = "resnet26"
+    cfg.model.vocab_size = 100
+    cfg.model.compute_dtype = "float32"
+    cfg.model.normalize_response = True   # scratch training in tests
+    cfg.train.grad_clip_norm = 10.0       # random-init grads are steep
+    cfg.train.learning_rate = 1e-5
+    cfg.train.rpn_pre_nms_top_n = 512
+    cfg.train.rpn_post_nms_top_n = 128
+    cfg.train.roi_batch_size = 32
+    cfg.test.rpn_pre_nms_top_n = 256
+    cfg.test.rpn_post_nms_top_n = 32
+    for k, v in model_kw.items():
+        setattr(cfg.model, k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained_step():
+    cfg = tiny_config()
+    model, tx, state = create_train_state(cfg)
+    step = make_train_step(model, cfg, tx)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, 2, 4, seed=0).items()}
+    return cfg, model, state, step, batch
+
+
+def test_train_step_runs_and_losses_finite(trained_step):
+    cfg, model, state, step, batch = trained_step
+    new_state, losses = step(state, batch)
+    for k, v in losses.items():
+        val = float(v)
+        assert np.isfinite(val), f"{k} not finite: {val}"
+        assert val >= 0 or k == "total_loss"
+    assert int(new_state.step) == 1
+    expected = {"rpn_cross_entropy", "rpn_loss_box", "cross_entropy",
+                "loss_box", "loss_mask", "total_loss"}
+    assert expected <= set(losses.keys())
+
+
+def test_train_step_updates_trainable_but_not_frozen(trained_step):
+    cfg, model, state, step, batch = trained_step
+    new_state, _ = step(state, batch)
+    p0, p1 = state.params, new_state.params
+
+    # frozen: conv1 and every BN stay exactly equal
+    np.testing.assert_array_equal(
+        np.asarray(p0["backbone"]["conv1"]["kernel"]),
+        np.asarray(p1["backbone"]["conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(p0["backbone"]["layer2"]["block0"]["bn1"]["scale"]),
+        np.asarray(p1["backbone"]["layer2"]["block0"]["bn1"]["scale"]))
+    np.testing.assert_array_equal(
+        np.asarray(p0["backbone"]["layer1"]["block0"]["conv1"]["kernel"]),
+        np.asarray(p1["backbone"]["layer1"]["block0"]["conv1"]["kernel"]))
+
+    # trainable: rpn + layer2 conv + encoder move
+    assert not np.array_equal(
+        np.asarray(p0["rpn_head"]["rpn_conv"]["kernel"]),
+        np.asarray(p1["rpn_head"]["rpn_conv"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(p0["backbone"]["layer2"]["block0"]["conv1"]["kernel"]),
+        np.asarray(p1["backbone"]["layer2"]["block0"]["conv1"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(p0["encoder"]["embedding"]["embedding"]),
+        np.asarray(p1["encoder"]["embedding"]["embedding"]))
+
+
+def test_loss_decreases_over_steps(trained_step):
+    cfg, model, state, step, batch = trained_step
+    first = None
+    s = state
+    for i in range(8):
+        s, losses = step(s, batch)
+        if first is None:
+            first = float(losses["total_loss"])
+    last = float(losses["total_loss"])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_test_forward_shapes(trained_step):
+    cfg, model, state, step, batch = trained_step
+    tb = {k: jnp.asarray(v)
+          for k, v in synthetic_test_batch(cfg, 2, seed=1).items()}
+    out = jax.jit(
+        lambda p, b: model.apply({"params": p}, b,
+                                 method=Lang2Seg.test_forward)
+    )(state.params, tb)
+    r = cfg.test.rpn_post_nms_top_n
+    assert out["rois"].shape == (2, r, 4)
+    assert out["cls_prob"].shape == (2, r, 81)
+    assert out["bbox_pred"].shape == (2, r, 81 * 4)
+    probs = np.asarray(out["cls_prob"])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+    # mask prediction on a chosen box
+    boxes = jnp.asarray([[[10.0, 10.0, 80.0, 100.0]],
+                         [[5.0, 5.0, 60.0, 60.0]]])
+    labels = jnp.asarray([[3], [7]], jnp.int32)
+    masks = model.apply({"params": state.params}, out["gated_conv"],
+                        boxes, labels, method=Lang2Seg.predict_masks)
+    assert masks.shape == (2, 1, 14, 14)
+    mv = np.asarray(masks)
+    assert (mv >= 0).all() and (mv <= 1).all()
+
+
+def test_spatial_7f_response_variant():
+    cfg = tiny_config(num_filters=7, response_gate="sigmoid",
+                      use_response_loss=True)
+    model, tx, state = create_train_state(cfg)
+    step = make_train_step(model, cfg, tx)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, 1, 2, seed=3).items()}
+    _, losses = step(state, batch)
+    assert "loss_response" in losses
+    assert np.isfinite(float(losses["total_loss"]))

@@ -1,0 +1,65 @@
+"""Trainer integration: fixture dataset -> train steps -> snapshot ->
+resume with exact loader-state restoration."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lang2seg_tpu.data.fixtures import make_mini_refer
+from lang2seg_tpu.data.loader import GtBatchLoader
+from lang2seg_tpu.data.prepro import run_prepro
+from lang2seg_tpu.engine.trainer import Trainer
+from tests.test_network import tiny_config
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("trainer_data"))
+    make_mini_refer(root)
+    out = os.path.join(root, "prepro")
+    jp, hp = run_prepro(root, "refcoco", "unc", out, count_threshold=0)
+    cfg = tiny_config()
+    cfg.data.image_dir = os.path.join(root, "images", "train2014")
+    cfg.train.expressions_per_batch = 4
+    cfg.train.images_per_batch = 2
+    cfg.train.snapshot_iters = 2
+    cfg.train.display = 1
+    cfg.train.summary_interval = 2
+    cfg.model.vocab_size = 64  # >= fixture vocab
+    return cfg, jp, hp, root
+
+
+def test_train_snapshot_resume(env, tmp_path):
+    cfg, jp, hp, root = env
+    out_dir = str(tmp_path / "run")
+
+    loader = GtBatchLoader(jp, hp, cfg, seed=3)
+    tr = Trainer(cfg, loader, out_dir)
+    losses = tr.train(max_iters=2)
+    assert np.isfinite(losses["total_loss"])
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_2"))
+    assert os.path.exists(os.path.join(out_dir, "events.jsonl"))
+
+    # resume: fresh trainer picks up iter_2 and continues to 3
+    loader2 = GtBatchLoader(jp, hp, cfg, seed=99)  # different seed...
+    tr2 = Trainer(cfg, loader2, out_dir)
+    losses2 = tr2.train(max_iters=3)
+    assert int(tr2.state.step) == 3
+    assert np.isfinite(losses2["total_loss"])
+    # ...but loader state was restored from the snapshot
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_3"))
+
+
+def test_checkpoint_tolerant_restore():
+    import jax.numpy as jnp
+    from lang2seg_tpu.engine.checkpoint import tolerant_restore_params
+    params = {"a": {"w": jnp.zeros((3, 3)), "b": jnp.zeros((4,))},
+              "c": jnp.ones((2,))}
+    loaded = {"a": {"w": jnp.full((3, 3), 7.0),
+                    "b": jnp.zeros((5,))},      # shape mismatch: skipped
+              "d": jnp.zeros((9,))}             # extra key: ignored
+    out = tolerant_restore_params(params, loaded)
+    assert float(out["a"]["w"][0, 0]) == 7.0
+    assert out["a"]["b"].shape == (4,)          # kept original
+    assert float(out["c"][0]) == 1.0
