@@ -41,20 +41,24 @@ def main():
     num_images, num_expr = 2, 8
 
     model, tx, state = create_train_state(cfg)
-    step = make_train_step(model, cfg, tx)
+    step = make_train_step(model, cfg, tx, donate=True)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, num_images, num_expr).items()}
 
-    # compile + warmup
+    # compile + warmup. NOTE: on the tunneled device here,
+    # block_until_ready does not actually synchronize — a host value
+    # readback is the only true barrier, so timing windows end with
+    # float(...).
     state, losses = step(state, batch)
-    jax.block_until_ready(losses["total_loss"])
+    float(losses["total_loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = step(state, batch)
-    jax.block_until_ready(losses["total_loss"])
+    total = float(losses["total_loss"])
     dt = time.perf_counter() - t0
+    assert total == total, "NaN loss in bench"
 
     expr_per_sec = num_expr * iters / dt
     print(json.dumps({

@@ -72,8 +72,11 @@ def create_train_state(cfg: Config, rng=None):
 
 
 def make_train_step(model: Lang2Seg, cfg: Config,
-                    tx: optax.GradientTransformation):
-    @jax.jit
+                    tx: optax.GradientTransformation,
+                    donate: bool = False):
+    """donate=True donates the state buffers (in-place update on device —
+    halves param memory traffic); callers must not reuse the old state."""
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, d_rng, s_rng = jax.random.split(state.rng, 3)

@@ -61,7 +61,7 @@ class Trainer:
         self.output_dir = output_dir
         self.prefetch_depth = prefetch_depth
         self.model, self.tx, self.state = create_train_state(cfg)
-        self.step_fn = make_train_step(self.model, cfg, self.tx)
+        self.step_fn = make_train_step(self.model, cfg, self.tx, donate=True)
         self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"),
                                       keep=cfg.train.snapshot_kept)
         self.writer = MetricsWriter(os.path.join(output_dir, "events.jsonl"))
@@ -124,9 +124,10 @@ class Trainer:
             it += 1
 
             if it % t.display == 0 or it == max_iters:
-                jax.block_until_ready(losses["total_loss"])
-                dt = self.timer.toc("step")
+                # a host value read is the only reliable device barrier on
+                # the tunneled stack (block_until_ready may return early)
                 last_losses = {k: float(v) for k, v in losses.items()}
+                dt = self.timer.toc("step")
                 msg = ", ".join(f"{k}={v:.4f}" for k, v in
                                 sorted(last_losses.items()))
                 print(f"iter {it}/{max_iters}: {msg}, "
