@@ -52,6 +52,25 @@ def build_vocab(refer, count_threshold: int = 5):
     return vocab, sent_to_final
 
 
+def build_att_vocab(att_json_path: str, top_k: int = 50):
+    """Attribute vocabulary from refer-parser2 output (reference
+    build_att_vocab, prepro.py:190-229): counts attribute words per ref,
+    keeps the top-k, returns (att_to_ix, ref_to_att_wds). The parsed-
+    attribute json is an external input ({ref_id: [att_wd, ...]})."""
+    import json
+    with open(att_json_path) as f:
+        ref_to_atts = {int(k): v for k, v in json.load(f).items()}
+    counts: Dict[str, int] = {}
+    for wds in ref_to_atts.values():
+        for wd in wds:
+            counts[wd] = counts.get(wd, 0) + 1
+    top = sorted(counts, key=lambda w: -counts[w])[:top_k]
+    att_to_ix = {w: i for i, w in enumerate(top)}
+    kept = {rid: [w for w in wds if w in att_to_ix]
+            for rid, wds in ref_to_atts.items()}
+    return att_to_ix, kept
+
+
 def encode_labels(sentences: List[Dict], wtoi: Dict[str, int],
                   max_length: int) -> np.ndarray:
     labels = np.zeros((len(sentences), max_length), np.int32)

@@ -124,6 +124,85 @@ class FCCaptioner(_LSTMDecoderBase):
         return self._run(img, seq, train)
 
 
+class TopDownCaptioner(nn.Module):
+    """Bottom-up/top-down decoder (reference TopDownCore,
+    AttModel.py:380-395): att-LSTM over [h_lang, fc_emb, word_emb],
+    additive attention with h_att, lang-LSTM over [att_res, h_att]."""
+    vocab_size: int
+    seq_length: int = 10
+    rnn_size: int = 512
+    input_encoding_size: int = 512
+    att_hid_size: int = 512
+    fc_feat_size: int = 4096
+    att_feat_size: int = 4096
+    drop_prob_lm: float = 0.5
+
+    def setup(self):
+        v1 = self.vocab_size + 1
+        r, e, ah = self.rnn_size, self.input_encoding_size, self.att_hid_size
+        p = self.param
+        init = _dense_init
+        self.embed_w = p("embed_w", nn.initializers.normal(0.01), (v1, e))
+        self.logit_w = p("logit_w", init, (r, v1))
+        self.logit_b = p("logit_b", nn.initializers.zeros, (v1,))
+        # att lstm: input = [h_lang, fc, xt] -> gates
+        self.att_ih = p("att_ih", init, (r + r + e, 4 * r))
+        self.att_hh = p("att_hh", init, (r, 4 * r))
+        self.att_b = p("att_b", nn.initializers.zeros, (4 * r,))
+        # lang lstm: input = [att_res, h_att]
+        self.lang_ih = p("lang_ih", init, (r + r, 4 * r))
+        self.lang_hh = p("lang_hh", init, (r, 4 * r))
+        self.lang_b = p("lang_b", nn.initializers.zeros, (4 * r,))
+        # attention
+        self.h2att_w = p("h2att_w", init, (r, ah))
+        self.h2att_b = p("h2att_b", nn.initializers.zeros, (ah,))
+        self.alpha_w = p("alpha_w", init, (ah, 1))
+        self.fc_embed = nn.Dense(r, name="fc_embed")
+        self.att_embed = nn.Dense(r, name="att_embed")
+        self.ctx2att = nn.Dense(ah, name="ctx2att")
+
+    @staticmethod
+    def _lstm_cell(x, h, c, w_ih, w_hh, b):
+        r = h.shape[-1]
+        s = x @ w_ih + h @ w_hh + b
+        i = jax.nn.sigmoid(s[:, :r])
+        f = jax.nn.sigmoid(s[:, r:2 * r])
+        o = jax.nn.sigmoid(s[:, 2 * r:3 * r])
+        g = jnp.tanh(s[:, 3 * r:])
+        c2 = f * c + i * g
+        return o * jnp.tanh(c2), c2
+
+    def teacher_forced_logprobs(self, fc_feats, att_feats, seq,
+                                train: bool = True):
+        b, t = seq.shape
+        fc = nn.relu(self.fc_embed(fc_feats))
+        att = nn.relu(self.att_embed(att_feats))
+        p_att = self.ctx2att(att)
+        z = jnp.zeros((b, self.rnn_size), fc.dtype)
+
+        def step(carry, it):
+            h_a, c_a, h_l, c_l = carry
+            xt = nn.relu(self.embed_w[it])
+            h_a, c_a = self._lstm_cell(
+                jnp.concatenate([h_l, fc, xt], -1), h_a, c_a,
+                self.att_ih, self.att_hh, self.att_b)
+            q = (h_a @ self.h2att_w + self.h2att_b)[:, None, :]
+            e = (jnp.tanh(p_att + q) @ self.alpha_w)[..., 0]
+            w = jax.nn.softmax(e, axis=-1)
+            att_res = jnp.einsum("bl,bld->bd", w, att)
+            h_l, c_l = self._lstm_cell(
+                jnp.concatenate([att_res, h_a], -1), h_l, c_l,
+                self.lang_ih, self.lang_hh, self.lang_b)
+            logp = jax.nn.log_softmax(h_l @ self.logit_w + self.logit_b,
+                                      axis=-1)
+            return (h_a, c_a, h_l, c_l), logp
+
+        _, logps = jax.lax.scan(step, (z, z, z, z), seq[:, :-1].T)
+        return logps.transpose(1, 0, 2)
+
+    teacher_forced_nll = _LSTMDecoderBase.teacher_forced_nll
+
+
 def setup_captioner(m: ModelConfig):
     """Factory (caption_models/__init__.py:16-52): decoder by name."""
     name = m.caption_model
@@ -146,4 +225,13 @@ def setup_captioner(m: ModelConfig):
         return ShowTellCaptioner(**common)
     if name == "fc":
         return FCCaptioner(**common)
+    if name == "topdown":
+        return TopDownCaptioner(
+            vocab_size=m.cap_vocab_size, seq_length=m.cap_seq_length,
+            rnn_size=m.cap_rnn_size,
+            input_encoding_size=m.cap_input_encoding_size,
+            att_hid_size=m.cap_att_hid_size,
+            fc_feat_size=m.cap_fc_feat_size,
+            att_feat_size=m.cap_att_feat_size,
+            drop_prob_lm=m.cap_drop_prob_lm)
     raise ValueError(f"unknown caption model {name}")
