@@ -95,7 +95,3 @@ def make_train_step(model: Lang2Seg, cfg: Config,
                           opt_state=new_opt, rng=rng), losses
 
     return train_step
-
-
-def train_step(*args, **kw):  # back-compat alias used in __init__
-    raise NotImplementedError("use make_train_step(model, cfg, tx)")
