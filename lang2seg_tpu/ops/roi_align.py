@@ -36,7 +36,10 @@ def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
         v = feat[yc, xc]                       # (..., C) via XLA gather
-        weight = (wy * wx) * inb.astype(feat.dtype)
+        # weights computed in the coord dtype (fp32) then cast so the
+        # output stays in the feature dtype (bf16 crops avoid a
+        # full-size f32->bf16 copy before the tail)
+        weight = ((wy * wx) * inb.astype(wy.dtype)).astype(feat.dtype)
         return v * weight[..., None]
 
     return (tap(y0i, x0i, 1 - wy1, 1 - wx1)
@@ -59,7 +62,7 @@ def crop_and_resize(feat: jnp.ndarray, rois: jnp.ndarray,
     x2 = rois[:, 2] * spatial_scale
     y2 = rois[:, 3] * spatial_scale
 
-    t = jnp.arange(s, dtype=feat.dtype) / (s - 1)          # (S,) in [0, 1]
+    t = jnp.arange(s, dtype=jnp.float32) / (s - 1)         # (S,) in [0, 1]
     ys = y1[:, None] + (y2 - y1)[:, None] * t[None, :]     # (R, S)
     xs = x1[:, None] + (x2 - x1)[:, None] * t[None, :]     # (R, S)
     ys = jnp.broadcast_to(ys[:, :, None], (rois.shape[0], s, s))

@@ -201,14 +201,25 @@ def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     bbox_w = (labels > 0).astype(jnp.float32)
     tgt = tgt * bbox_w[:, None]
 
-    # mask targets for the fg slots
+    # mask targets for the fg slots. Gather POINTS directly from the
+    # (M, H, W) uint8 stack — materializing gt_masks[fg_gt] would copy
+    # num_fg_slots full-canvas masks (gigabytes at batch scale).
     fg_rois = out_rois[:num_fg_slots]
     fg_gt = gt_idx[:num_fg_slots]
 
-    def crop_one(mask_2d, roi):
-        return roi_nearest_crop(mask_2d, roi[None, :], mask_size)[0]
-
-    mask_t = jax.vmap(crop_one)(gt_masks[fg_gt].astype(jnp.float32), fg_rois)
+    s = mask_size
+    x1 = jnp.floor(fg_rois[:, 0]).astype(jnp.int32)
+    y1 = jnp.floor(fg_rois[:, 1]).astype(jnp.int32)
+    x2 = jnp.floor(fg_rois[:, 2]).astype(jnp.int32)
+    y2 = jnp.floor(fg_rois[:, 3]).astype(jnp.int32)
+    t2 = 2 * jnp.arange(s, dtype=jnp.int32) + 1
+    ys = y1[:, None] + (t2[None, :] * (y2 - y1 + 1)[:, None]) // (2 * s)
+    xs = x1[:, None] + (t2[None, :] * (x2 - x1 + 1)[:, None]) // (2 * s)
+    mh, mw = gt_masks.shape[1], gt_masks.shape[2]
+    ys = jnp.clip(ys, 0, mh - 1)
+    xs = jnp.clip(xs, 0, mw - 1)
+    mask_t = gt_masks[fg_gt[:, None, None], ys[:, :, None],
+                      xs[:, None, :]].astype(jnp.float32)
     mask_w = (is_fg_slot[:num_fg_slots] & out_valid[:num_fg_slots]).astype(jnp.float32)
 
     return ProposalTargets(out_rois, labels, tgt, bbox_w, mask_t, mask_w,
