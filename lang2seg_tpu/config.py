@@ -122,6 +122,7 @@ class ModelConfig:
     num_filters: int = 1                    # 1 (baseline) | 7 (spatial)
     response_gate: str = "multiply"         # 'multiply' | 'sigmoid' (response variants)
     normalize_response: bool = False        # 1/sqrt(C) response scaling (scratch-training aid)
+    use_pallas: bool = False                # fused Pallas conditioning kernel
 
     # loss set (the reference's per-variant network files collapse to this)
     use_mask_head: bool = True              # False for vgg detection-only variant

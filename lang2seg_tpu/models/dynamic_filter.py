@@ -65,6 +65,9 @@ class DynamicFilterGen(nn.Module):
     # it on stabilizes scratch training where the backbone is not
     # pretrained, and is exactly absorbable into dynamic_fc weights.
     normalize: bool = False
+    # route the gating through the fused Pallas kernel
+    # (ops/pallas_kernels.py) instead of the XLA einsum path
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, net_conv: jnp.ndarray, hidden: jnp.ndarray
@@ -79,6 +82,17 @@ class DynamicFilterGen(nn.Module):
         # (B, C, K) filters — one fused Dense for all K heads
         filt = jnp.tanh(nn.Dense(self.c4_dim * k, name="dynamic_fc")(hidden))
         filt = filt.reshape(b, k, self.c4_dim).transpose(0, 2, 1)
+
+        if self.use_pallas:
+            from lang2seg_tpu.ops.pallas_kernels import fused_dynamic_filter
+            if k == 7:
+                rfilt = jnp.tanh(nn.Dense(k, name="response_fc")(hidden))
+            else:
+                rfilt = jnp.ones((b, 1), jnp.float32)
+            gated, response = fused_dynamic_filter(
+                net_conv, filt, rfilt, num_filters=k, gate=self.gate,
+                normalize=self.normalize)
+            return gated, response
 
         # responses: per-pixel contraction then mask (see module docstring)
         resp = jnp.einsum("bhwc,bck->bhwk", net_conv.astype(jnp.float32),

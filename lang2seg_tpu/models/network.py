@@ -88,7 +88,8 @@ class Lang2Seg(nn.Module):
                 input_dropout_p=m.word_drop_out)
             self.filter_gen = DynamicFilterGen(
                 c4_dim=m.c4_feat_dim, num_filters=m.num_filters,
-                gate=m.response_gate, normalize=m.normalize_response)
+                gate=m.response_gate, normalize=m.normalize_response,
+                use_pallas=m.use_pallas)
         num_anchors = len(m.anchor_scales) * len(m.anchor_ratios)
         self.rpn_head = RPNHead(num_anchors=num_anchors)
         self.box_head = BoxHead(num_classes=m.num_classes)
