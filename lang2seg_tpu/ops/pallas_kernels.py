@@ -70,15 +70,10 @@ def _kernel(conv_ref, filt_ref, rfilt_ref, gated_ref, resp_ref, *,
     resp_ref[...] = fused.astype(resp_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_filters", "gate",
-                                             "normalize", "interpret"))
-def fused_dynamic_filter(net_conv: jnp.ndarray, filt: jnp.ndarray,
-                         rfilt: jnp.ndarray, num_filters: int = 7,
-                         gate: str = "sigmoid", normalize: bool = False,
-                         interpret: bool = False
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """net_conv: (B, H, W, C); filt: (B, C, K); rfilt: (B, K).
-    Returns (gated (B, H, W, C), response (B, H, W, 1))."""
+def _pallas_forward(net_conv: jnp.ndarray, filt: jnp.ndarray,
+                    rfilt: jnp.ndarray, num_filters: int,
+                    gate: str, normalize: bool, interpret: bool
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, h, w, c = net_conv.shape
     th = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
     grid = (h // th,)
@@ -118,3 +113,74 @@ def fused_dynamic_filter(net_conv: jnp.ndarray, filt: jnp.ndarray,
 
     gated, resp = jax.vmap(one)(net_conv, filt, rfilt)
     return gated, resp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_dynamic_filter(net_conv: jnp.ndarray, filt: jnp.ndarray,
+                         rfilt: jnp.ndarray, num_filters: int = 7,
+                         gate: str = "sigmoid", normalize: bool = False,
+                         interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """net_conv: (B, H, W, C); filt: (B, C, K); rfilt: (B, K).
+    Returns (gated (B, H, W, C), response (B, H, W, 1)).
+
+    Pallas forward; XLA backward via custom_vjp (the gating math's
+    backward is a couple of einsums — no kernel needed)."""
+    return _pallas_forward(net_conv, filt, rfilt, num_filters, gate,
+                           normalize, interpret)
+
+
+def _masks_for(h, w, k):
+    from lang2seg_tpu.models.dynamic_filter import spatial_masks_7
+    if k == 7:
+        return spatial_masks_7(h, w).transpose(1, 2, 0)[None]  # (1,H,W,7)
+    return jnp.ones((1, h, w, 1), jnp.float32)
+
+
+def _fdf_fwd(net_conv, filt, rfilt, num_filters, gate, normalize,
+             interpret):
+    gated, fused = _pallas_forward(net_conv, filt, rfilt, num_filters,
+                                   gate, normalize, interpret)
+    return (gated, fused), (net_conv, filt, rfilt, fused)
+
+
+def _fdf_bwd(num_filters, gate, normalize, interpret, res, grads):
+    net_conv, filt, rfilt, fused = res
+    d_gated, d_fused_out = grads
+    b, h, w, c = net_conv.shape
+    k = num_filters
+    conv32 = net_conv.astype(jnp.float32)
+    d_gated32 = d_gated.astype(jnp.float32)
+    scale = (1.0 / (c ** 0.5)) if normalize else 1.0
+    mask = _masks_for(h, w, k)
+
+    if gate == "sigmoid":
+        g = jax.nn.sigmoid(fused)
+        g_prime = g * (1.0 - g)
+    else:
+        g = fused
+        g_prime = jnp.ones_like(fused)
+
+    # gated = conv * g
+    d_conv = d_gated32 * g
+    d_g = jnp.sum(d_gated32 * conv32, axis=-1, keepdims=True)
+    d_fused = d_fused_out.astype(jnp.float32) + d_g * g_prime  # (B,H,W,1)
+
+    if k == 7:
+        # fused = sum_k respm_k * rfilt_k ; respm = resp0 * mask
+        d_respm = d_fused * rfilt[:, None, None, :]             # (B,H,W,K)
+        resp0 = jnp.einsum("bhwc,bck->bhwk", conv32, filt) * scale
+        d_rfilt = jnp.einsum("bhwk,bhwl->bk", resp0 * mask,
+                             jnp.broadcast_to(d_fused, d_fused.shape))
+        d_resp0 = d_respm * mask
+    else:
+        d_rfilt = jnp.zeros_like(rfilt)
+        d_resp0 = d_fused                                       # (B,H,W,1)
+
+    d_conv = d_conv + jnp.einsum("bhwk,bck->bhwc", d_resp0, filt) * scale
+    d_filt = jnp.einsum("bhwc,bhwk->bck", conv32, d_resp0) * scale
+    return (d_conv.astype(net_conv.dtype), d_filt.astype(filt.dtype),
+            d_rfilt.astype(rfilt.dtype))
+
+
+fused_dynamic_filter.defvjp(_fdf_fwd, _fdf_bwd)

@@ -27,6 +27,34 @@ def xla_reference(net_conv, filt, rfilt, num_filters, gate, normalize):
 
 @pytest.mark.parametrize("num_filters,gate", [(7, "sigmoid"),
                                               (1, "multiply")])
+def test_fused_dynamic_filter_grads_match_xla(rng, num_filters, gate):
+    """custom_vjp backward vs autodiff through the XLA reference."""
+    b, h, w, c = 1, 8, 16, 128
+    net_conv = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    filt = jnp.asarray(
+        np.tanh(rng.randn(b, c, num_filters)).astype(np.float32))
+    rfilt = jnp.asarray(
+        np.tanh(rng.randn(b, num_filters)).astype(np.float32))
+
+    def loss_pallas(nc, f, r):
+        g, resp = fused_dynamic_filter(nc, f, r, num_filters=num_filters,
+                                       gate=gate, normalize=True,
+                                       interpret=True)
+        return jnp.sum(g * g) + jnp.sum(jnp.tanh(resp))
+
+    def loss_xla(nc, f, r):
+        g, resp = xla_reference(nc, f, r, num_filters, gate, True)
+        return jnp.sum(g * g) + jnp.sum(jnp.tanh(resp))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(net_conv, filt, rfilt)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(net_conv, filt, rfilt)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("num_filters,gate", [(7, "sigmoid"),
+                                              (1, "multiply")])
 def test_fused_dynamic_filter_matches_xla(rng, num_filters, gate):
     b, h, w, c = 2, 8, 16, 128
     net_conv = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
