@@ -203,6 +203,127 @@ class TopDownCaptioner(nn.Module):
     teacher_forced_nll = _LSTMDecoderBase.teacher_forced_nll
 
 
+class ShowAttendTellCaptioner(nn.Module):
+    """Show-attend-tell / all_img family (reference OldModel.py): single
+    LSTM whose input concatenates the word embedding with an attention
+    context computed from the previous hidden state."""
+    vocab_size: int
+    seq_length: int = 10
+    rnn_size: int = 512
+    input_encoding_size: int = 512
+    att_hid_size: int = 512
+    fc_feat_size: int = 4096
+    att_feat_size: int = 4096
+    drop_prob_lm: float = 0.5
+
+    def setup(self):
+        v1 = self.vocab_size + 1
+        r, e, ah = self.rnn_size, self.input_encoding_size, self.att_hid_size
+        p, init = self.param, _dense_init
+        self.embed_w = p("embed_w", nn.initializers.normal(0.01), (v1, e))
+        self.logit_w = p("logit_w", init, (r, v1))
+        self.logit_b = p("logit_b", nn.initializers.zeros, (v1,))
+        self.ih = p("ih", init, (e + r, 4 * r))
+        self.hh = p("hh", init, (r, 4 * r))
+        self.b = p("b", nn.initializers.zeros, (4 * r,))
+        self.h2att_w = p("h2att_w", init, (r, ah))
+        self.alpha_w = p("alpha_w", init, (ah, 1))
+        self.att_embed = nn.Dense(r, name="att_embed")
+        self.ctx2att = nn.Dense(ah, name="ctx2att")
+
+    def teacher_forced_logprobs(self, fc_feats, att_feats, seq,
+                                train: bool = True):
+        del fc_feats
+        b, t = seq.shape
+        att = nn.relu(self.att_embed(att_feats))
+        p_att = self.ctx2att(att)
+        z = jnp.zeros((b, self.rnn_size), att.dtype)
+
+        def step(carry, it):
+            h, c = carry
+            q = (h @ self.h2att_w)[:, None, :]
+            e = (jnp.tanh(p_att + q) @ self.alpha_w)[..., 0]
+            ctx = jnp.einsum("bl,bld->bd", jax.nn.softmax(e, -1), att)
+            xt = jnp.concatenate([nn.relu(self.embed_w[it]), ctx], -1)
+            h, c = TopDownCaptioner._lstm_cell(xt, h, c, self.ih, self.hh,
+                                               self.b)
+            logp = jax.nn.log_softmax(h @ self.logit_w + self.logit_b, -1)
+            return (h, c), logp
+
+        _, logps = jax.lax.scan(step, (z, z), seq[:, :-1].T)
+        return logps.transpose(1, 0, 2)
+
+    teacher_forced_nll = _LSTMDecoderBase.teacher_forced_nll
+
+
+class AdaAttCaptioner(nn.Module):
+    """Adaptive attention with a visual sentinel (reference AdaAttModel /
+    AdaAttMO, AttModel.py): the LSTM keeps a sentinel state s_t =
+    sigmoid(W[x,h]) * tanh(c_t); attention runs over regions PLUS the
+    sentinel, letting the decoder choose 'look' vs 'language'."""
+    vocab_size: int
+    seq_length: int = 10
+    rnn_size: int = 512
+    input_encoding_size: int = 512
+    att_hid_size: int = 512
+    fc_feat_size: int = 4096
+    att_feat_size: int = 4096
+    drop_prob_lm: float = 0.5
+
+    def setup(self):
+        v1 = self.vocab_size + 1
+        r, e, ah = self.rnn_size, self.input_encoding_size, self.att_hid_size
+        p, init = self.param, _dense_init
+        self.embed_w = p("embed_w", nn.initializers.normal(0.01), (v1, e))
+        self.logit_w = p("logit_w", init, (r, v1))
+        self.logit_b = p("logit_b", nn.initializers.zeros, (v1,))
+        self.ih = p("ih", init, (e + r, 4 * r))
+        self.hh = p("hh", init, (r, 4 * r))
+        self.b = p("b", nn.initializers.zeros, (4 * r,))
+        # sentinel gate over [x, h]
+        self.sent_x = p("sent_x", init, (e + r, r))
+        self.sent_h = p("sent_h", init, (r, r))
+        self.h2att_w = p("h2att_w", init, (r, ah))
+        self.s2att_w = p("s2att_w", init, (r, ah))
+        self.alpha_w = p("alpha_w", init, (ah, 1))
+        self.fc_embed = nn.Dense(r, name="fc_embed")
+        self.att_embed = nn.Dense(r, name="att_embed")
+        self.ctx2att = nn.Dense(ah, name="ctx2att")
+
+    def teacher_forced_logprobs(self, fc_feats, att_feats, seq,
+                                train: bool = True):
+        b, t = seq.shape
+        fc = nn.relu(self.fc_embed(fc_feats))
+        att = nn.relu(self.att_embed(att_feats))
+        p_att = self.ctx2att(att)
+        z = jnp.zeros((b, self.rnn_size), att.dtype)
+
+        def step(carry, it):
+            h_prev, c_prev = carry
+            xt = jnp.concatenate([nn.relu(self.embed_w[it]), fc], -1)
+            h, c = TopDownCaptioner._lstm_cell(xt, h_prev, c_prev,
+                                               self.ih, self.hh, self.b)
+            gate = jax.nn.sigmoid(xt @ self.sent_x + h_prev @ self.sent_h)
+            s = gate * jnp.tanh(c)                       # sentinel
+            q = (h @ self.h2att_w)[:, None, :]
+            e_r = (jnp.tanh(p_att + q) @ self.alpha_w)[..., 0]   # (B, L)
+            e_s = (jnp.tanh(s @ self.s2att_w + h @ self.h2att_w)
+                   @ self.alpha_w)                               # (B, 1)
+            logits = jnp.concatenate([e_r, e_s], axis=-1)
+            w = jax.nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum("bl,bld->bd", w[:, :-1], att) \
+                + w[:, -1:] * s
+            out = h + ctx
+            logp = jax.nn.log_softmax(out @ self.logit_w + self.logit_b,
+                                      -1)
+            return (h, c), logp
+
+        _, logps = jax.lax.scan(step, (z, z), seq[:, :-1].T)
+        return logps.transpose(1, 0, 2)
+
+    teacher_forced_nll = _LSTMDecoderBase.teacher_forced_nll
+
+
 def setup_captioner(m: ModelConfig):
     """Factory (caption_models/__init__.py:16-52): decoder by name."""
     name = m.caption_model
@@ -225,13 +346,18 @@ def setup_captioner(m: ModelConfig):
         return ShowTellCaptioner(**common)
     if name == "fc":
         return FCCaptioner(**common)
+    att_common = dict(
+        vocab_size=m.cap_vocab_size, seq_length=m.cap_seq_length,
+        rnn_size=m.cap_rnn_size,
+        input_encoding_size=m.cap_input_encoding_size,
+        att_hid_size=m.cap_att_hid_size,
+        fc_feat_size=m.cap_fc_feat_size,
+        att_feat_size=m.cap_att_feat_size,
+        drop_prob_lm=m.cap_drop_prob_lm)
     if name == "topdown":
-        return TopDownCaptioner(
-            vocab_size=m.cap_vocab_size, seq_length=m.cap_seq_length,
-            rnn_size=m.cap_rnn_size,
-            input_encoding_size=m.cap_input_encoding_size,
-            att_hid_size=m.cap_att_hid_size,
-            fc_feat_size=m.cap_fc_feat_size,
-            att_feat_size=m.cap_att_feat_size,
-            drop_prob_lm=m.cap_drop_prob_lm)
+        return TopDownCaptioner(**att_common)
+    if name in ("show_attend_tell", "all_img"):
+        return ShowAttendTellCaptioner(**att_common)
+    if name in ("adaatt", "adaattmo"):
+        return AdaAttCaptioner(**att_common)
     raise ValueError(f"unknown caption model {name}")

@@ -27,6 +27,25 @@ def make_mesh(num_data: Optional[int] = None,
     return Mesh(dev_array, ("data",))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) initialization: wraps jax.distributed.initialize.
+    On TPU pods the arguments auto-detect from the environment; pass them
+    explicitly elsewhere. Each host then loads its own data shard and the
+    same shard_map train step runs data-parallel across all hosts (psum
+    rides ICI within a slice and DCN across slices)."""
+    import jax.distributed
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def batch_spec() -> P:
     """Batch arrays shard on their leading axis."""
     return P("data")
