@@ -29,7 +29,8 @@ from lang2seg_tpu.models.lang_encoder import RNNEncoder
 from lang2seg_tpu.models.dynamic_filter import DynamicFilterGen
 from lang2seg_tpu.models.heads import RPNHead, BoxHead, MaskHead
 from lang2seg_tpu.ops.anchors import shifted_anchors
-from lang2seg_tpu.ops.proposals import proposal_layer, Proposals
+from lang2seg_tpu.ops.proposals import (proposal_layer, proposal_top_layer,
+                                        Proposals)
 from lang2seg_tpu.ops.roi_align import roi_crop_pool
 from lang2seg_tpu.ops.targets import anchor_targets, proposal_targets
 
@@ -336,6 +337,12 @@ class Lang2Seg(nn.Module):
 
         def per_expr(cls_e, box_e):
             score_pos = jax.nn.softmax(cls_e.reshape(n, 2), axis=-1)[:, 1]
+            if ts.mode == "top":
+                # NMS-free top-N alternative (cfg.TEST.MODE='top',
+                # proposal_top_layer.py:18-67)
+                return proposal_top_layer(
+                    score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
+                    min(ts.rpn_top_n, n), None)
             return proposal_layer(
                 score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                 ts.rpn_pre_nms_top_n, ts.rpn_post_nms_top_n,

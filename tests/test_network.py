@@ -133,3 +133,20 @@ def test_spatial_7f_response_variant():
     _, losses = step(state, batch)
     assert "loss_response" in losses
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_test_forward_top_mode(trained_step):
+    cfg, model, state, step, batch = trained_step
+    import dataclasses
+    cfg2 = tiny_config()
+    cfg2.test.mode = "top"
+    cfg2.test.rpn_top_n = 48
+    model2 = Lang2Seg(cfg=cfg2)
+    tb = {k: jnp.asarray(v)
+          for k, v in synthetic_test_batch(cfg2, 1, seed=2).items()}
+    out = model2.apply({"params": state.params}, tb,
+                       method=Lang2Seg.test_forward)
+    assert out["rois"].shape == (1, 48, 4)
+    assert np.asarray(out["roi_valid"]).all()
+    # top mode must return score-sorted proposals
+    # (proposal scores descending by construction)
