@@ -181,7 +181,7 @@ def merge(rles: List[RLE], intersect: bool = False) -> RLE:
             ma = decode({"size": [h, w], "counts": acc})
             mb = decode({"size": [h, w], "counts": b})
             m = (ma & mb) if intersect else (ma | mb)
-            return encode(m)
+            acc = _counts_from_obj(encode(m))
     return {"size": [h, w], "counts": str_encode(acc)}
 
 

@@ -39,7 +39,12 @@ def _conv(w):
 
 
 def _convT(w):
-    return _t(w).transpose(2, 3, 0, 1)         # (I,O,kh,kw)->(kh,kw,I,O)
+    # (I,O,kh,kw)->(kh,kw,I,O), spatially flipped: torch ConvTranspose2d is
+    # the gradient of a conv (kernel applied flipped), while flax
+    # nn.ConvTranspose(transpose_kernel=False) runs a plain fractionally-
+    # strided conv — without the flip every converted deconv kernel is
+    # rotated 180 deg per block.
+    return _t(w).transpose(2, 3, 0, 1)[::-1, ::-1]
 
 
 def _lin(w):

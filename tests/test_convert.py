@@ -34,6 +34,32 @@ def test_conv_kernel_layout(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_convtranspose_kernel_layout(rng):
+    """torch ConvTranspose2d is the gradient of a conv (kernel applied
+    spatially flipped); flax nn.ConvTranspose(transpose_kernel=False) — the
+    mask head's mask_up, heads.py — runs a plain fractionally-strided conv.
+    The converter must flip the spatial axes or every converted deconv
+    kernel arrives rotated 180 deg per 2x2 block."""
+    import flax.linen as nn
+    ci, co = 6, 4
+    w = rng.randn(ci, co, 2, 2).astype(np.float32)
+    b = rng.randn(co).astype(np.float32)
+    x = rng.randn(2, ci, 5, 7).astype(np.float32)
+    m = torch.nn.ConvTranspose2d(ci, co, 2, stride=2)
+    m.weight.data = torch.from_numpy(w)
+    m.bias.data = torch.from_numpy(b)
+    ref = m(torch.from_numpy(x)).detach().numpy()    # (2, co, 10, 14)
+
+    mod = nn.ConvTranspose(co, (2, 2), strides=(2, 2))
+    params = {"kernel": jnp.asarray(convert._convT(w).copy()),
+              "bias": jnp.asarray(b)}
+    with jax.default_matmul_precision("float32"):
+        out = mod.apply({"params": params},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_frozen_bn_matches_torch_eval(rng):
     from lang2seg_tpu.models.resnet import FrozenBatchNorm
     bn = torch.nn.BatchNorm2d(6)

@@ -59,6 +59,27 @@ def test_merge_union_and_intersect(rng):
     np.testing.assert_array_equal(inter, a & b)
 
 
+def test_merge_three_fallback(rng, monkeypatch):
+    """3+ RLE merge must accumulate across ALL inputs in the NumPy
+    fallback path (regression: it used to return after the first pair)."""
+    a, b, c = rand_mask(rng), rand_mask(rng), rand_mask(rng)
+    rs = [rle.encode(m) for m in (a, b, c)]
+    monkeypatch.setattr(rle, "_lib", None)
+    np.testing.assert_array_equal(rle.decode(rle.merge(rs)), a | b | c)
+    np.testing.assert_array_equal(
+        rle.decode(rle.merge(rs, intersect=True)), a & b & c)
+
+
+def test_merge_three_native_matches_fallback(rng, monkeypatch):
+    if rle._lib is None:
+        import pytest
+        pytest.skip("native lib not built")
+    rs = [rle.encode(rand_mask(rng)) for _ in range(3)]
+    native = rle.decode(rle.merge(rs))
+    monkeypatch.setattr(rle, "_lib", None)
+    np.testing.assert_array_equal(rle.decode(rle.merge(rs)), native)
+
+
 def test_iou(rng):
     a, b = rand_mask(rng), rand_mask(rng)
     got = rle.iou(rle.encode(a), rle.encode(b))
