@@ -50,11 +50,19 @@ def proposal_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
 def proposal_top_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
                        anchors: jnp.ndarray, im_h, im_w,
                        top_n: int, key) -> Proposals:
-    """NMS-free variant: random-pad to top_n if fewer anchors than top_n,
-    else plain top-N by score (proposal_top_layer.py:18-67)."""
-    k = min(top_n, scores.shape[0])
-    top_scores, order = jax.lax.top_k(scores, k)
+    """NMS-free variant (proposal_top_layer.py:18-67): plain top-N by
+    score; when there are fewer anchors than top_n the reference instead
+    selects top_n indices uniformly at random WITH replacement
+    (proposal_top_layer.py:42-45) — anchor count is static under jit, so
+    the branch resolves at trace time. Always returns exactly top_n rows.
+    """
+    n = scores.shape[0]
+    if n < top_n:
+        order = jax.random.randint(key, (top_n,), 0, n)
+        top_scores = scores[order]
+    else:
+        top_scores, order = jax.lax.top_k(scores, top_n)
     boxes = decode_boxes(anchors[order], deltas[order])
     boxes = clip_boxes(boxes, im_h, im_w)
-    valid = jnp.ones((k,), dtype=bool)
+    valid = jnp.ones((top_n,), dtype=bool)
     return Proposals(boxes, top_scores, valid)
