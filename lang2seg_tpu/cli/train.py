@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg", default=None, help="YAML config overlay")
     p.add_argument("--set", dest="overrides", nargs="*", default=[],
                    help="dotted KEY VALUE config overrides")
+    p.add_argument("--data-parallel", type=int, default=None, metavar="N",
+                   help="data-parallel degree (device mesh size); 0 = all "
+                        "local devices (default: cfg.parallel.num_data)")
     return p
 
 
@@ -53,6 +56,12 @@ def main(argv=None):
         cfg.data.max_len = 20
     if args.image_dir:
         cfg.data.image_dir = args.image_dir
+    if args.data_parallel is not None:
+        if args.data_parallel == 0:
+            import jax
+            cfg.parallel.num_data = len(jax.devices())
+        else:
+            cfg.parallel.num_data = args.data_parallel
 
     tag = f"{args.dataset}_{args.split_by}"
     prepro_dir = args.prepro_dir or os.path.join("cache", "prepro", tag)

@@ -56,6 +56,9 @@ class Loader:
         self.Anns = {a["ann_id"]: a for a in self.anns}
         self.Sentences = {s["sent_id"]: s for s in self.sentences}
         self.sent_to_h5 = {s["sent_id"]: s["h5_id"] for s in self.sentences}
+        # attribute vocab (present when prepro ran with att_json)
+        self.att_to_ix: Dict[str, int] = info.get("att_to_ix", {})
+        self.ix_to_att = {i: w for w, i in self.att_to_ix.items()}
 
         if data_h5 is not None:
             import h5py
@@ -87,6 +90,14 @@ class Loader:
 
     def fetch_seq(self, sent_id) -> np.ndarray:
         return self.labels[self.sent_to_h5[sent_id]]
+
+    def att_multihot(self, ref_id) -> np.ndarray:
+        """(num_atts,) float multi-hot of a ref's attribute words."""
+        out = np.zeros((len(self.att_to_ix),), np.float32)
+        for w in self.Refs[ref_id].get("att_wds", []):
+            if w in self.att_to_ix:
+                out[self.att_to_ix[w]] = 1.0
+        return out
 
 
 class GtBatchLoader(Loader):
@@ -183,10 +194,36 @@ class GtBatchLoader(Loader):
 
     def get_batch(self, split: str = "train",
                   num_images: Optional[int] = None,
-                  num_expr: Optional[int] = None) -> Dict[str, np.ndarray]:
-        """Fixed-shape training batch: I images, E expressions sampled
-        from those images' (ref, sentence) pools (with replacement when
-        fewer than E exist)."""
+                  num_expr: Optional[int] = None,
+                  num_shards: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Fixed-shape training batch.
+
+        num_shards=1 (default cfg.parallel.num_data): one block of I
+        images x E expressions. num_shards=n: n self-contained per-device
+        blocks concatenated along axis 0 — each block's img_idx indexes
+        its OWN I images — matching the shard_map contract of
+        parallel/train.py (arrays shard on axis 0; shard s sees images
+        [s*I:(s+1)*I] as its local 0..I-1).
+        """
+        num_shards = num_shards or self.cfg.parallel.num_data
+        if num_shards <= 1:
+            return self._sample_block(split, num_images, num_expr)
+        blocks = [self._sample_block(split, num_images, num_expr)
+                  for _ in range(num_shards)]
+        out: Dict[str, np.ndarray] = {}
+        for k in blocks[0]:
+            if k == "wrapped":
+                out[k] = any(b[k] for b in blocks)
+            else:
+                out[k] = np.concatenate([b[k] for b in blocks], axis=0)
+        return out
+
+    def _sample_block(self, split: str = "train",
+                      num_images: Optional[int] = None,
+                      num_expr: Optional[int] = None
+                      ) -> Dict[str, np.ndarray]:
+        """One block: I images, E expressions sampled from those images'
+        (ref, sentence) pools (with replacement when fewer than E exist)."""
         t, d, m = self.cfg.train, self.cfg.data, self.cfg.model
         num_images = num_images or t.images_per_batch
         num_expr = num_expr or t.expressions_per_batch
@@ -220,6 +257,10 @@ class GtBatchLoader(Loader):
             if len(pool) != num_expr else pool
 
         img_idx = np.asarray([p[0] for p in take], np.int32)
+        # stable per-sentence ids: the network derives per-example sampling
+        # keys from these, so subsampling is invariant to batch
+        # composition/sharding (models/network.py train_forward)
+        expr_uid = np.asarray([self.sent_to_h5[p[2]] for p in take], np.int32)
         labels = np.stack([self.fetch_seq(p[2]) for p in take])
         gt_boxes = np.zeros((num_expr, 5), np.float32)
         gt_masks = np.zeros((num_expr, d.canvas_h, d.canvas_w), np.uint8)
@@ -232,11 +273,16 @@ class GtBatchLoader(Loader):
             gt_masks[ei] = self._ref_masks_to_canvas([rid], sh, sw)[0]
 
         batch = {"images": images, "im_hw": im_hw, "labels": labels,
-                 "img_idx": img_idx, "gt_boxes": gt_boxes,
+                 "img_idx": img_idx, "expr_uid": expr_uid,
+                 "gt_boxes": gt_boxes,
                  "gt_masks": gt_masks, "im_scales": scales,
                  "wrapped": wrapped}
         if m.use_caption_loss:
             batch.update(self._caption_targets(labels))
+        if m.use_attribute_head and self.att_to_ix:
+            att_labels = np.stack([self.att_multihot(p[1]) for p in take])
+            batch["att_labels"] = att_labels
+            batch["att_valid"] = att_labels.sum(axis=1) > 0
         return batch
 
     def _caption_targets(self, labels: np.ndarray) -> Dict[str, np.ndarray]:
@@ -291,6 +337,34 @@ class GtBatchLoader(Loader):
                 "gt_masks": gt_masks, "sent_valid": sent_valid,
                 "im_scale": scale, "wrapped": wrapped,
                 "image_id": rec["image_id"]}
+
+    def iter_attribute_batches(self, split: str, max_refs: int = 16):
+        """Per image of the split: canvas + scaled GT boxes of the refs
+        that carry attribute words (reference getAttributeBatch /
+        eval_attributes, eval_easy_utils.py:41-80)."""
+        d = self.cfg.data
+        self.reset_iterator(split)
+        for _ in range(len(self.split_ix[split])):
+            img_ids, _ = self._next_image_ids(split, 1)
+            rec = self.Images[img_ids[0]]
+            rids = [rid for rid in rec["ref_ids"]
+                    if self.Refs[rid]["split"] == split
+                    and self.Refs[rid].get("att_wds")]
+            if not rids:
+                continue
+            canvas, scale, sh, sw = self._image_to_canvas(
+                self._read_image(rec))
+            rids = rids[:max_refs]
+            boxes = np.zeros((max_refs, 4), np.float32)
+            valid = np.zeros((max_refs,), bool)
+            for i, rid in enumerate(rids):
+                boxes[i] = xywh_to_xyxy(
+                    np.asarray(self.Refs[rid]["box"], np.float32)) * scale
+                valid[i] = True
+            yield {"images": canvas[None], "boxes": boxes[None],
+                   "ref_valid": valid, "ref_ids": rids,
+                   "gd_att_wds": [self.Refs[rid]["att_wds"]
+                                  for rid in rids]}
 
     def iter_test_batches(self, split: str, max_sents: int = 32):
         """Yield every image of the split exactly once."""

@@ -61,11 +61,34 @@ class Trainer:
         self.output_dir = output_dir
         self.prefetch_depth = prefetch_depth
         self.model, self.tx, self.state = create_train_state(cfg)
-        self.step_fn = make_train_step(self.model, cfg, self.tx, donate=True)
+        self.num_shards = max(1, cfg.parallel.num_data)
+        if self.num_shards > 1:
+            # data-parallel: shard_map step over a 1-D device mesh; the
+            # loader emits per-device blocks (get_batch(num_shards=n))
+            from lang2seg_tpu.parallel.mesh import make_mesh
+            from lang2seg_tpu.parallel.train import make_sharded_train_step
+            self.mesh = make_mesh(self.num_shards)
+            self.step_fn = make_sharded_train_step(
+                self.model, cfg, self.tx, self.mesh, donate=True)
+        else:
+            self.mesh = None
+            self.step_fn = make_train_step(self.model, cfg, self.tx,
+                                           donate=True)
+        self.state = self._replicate(self.state)
         self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"),
                                       keep=cfg.train.snapshot_kept)
         self.writer = MetricsWriter(os.path.join(output_dir, "events.jsonl"))
         self.timer = Timer()
+
+    def _replicate(self, state):
+        """Under data parallelism, commit the (replicated) train state to
+        the full mesh — freshly created or checkpoint-restored arrays are
+        committed to a single device, which conflicts with the shard_map
+        step's n-device sharding."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     # ---- snapshot / resume (train_val.py:57-159 semantics) ----
 
@@ -79,6 +102,7 @@ class Trainer:
         if prev is None:
             return None
         self.state, host = self.ckpt.restore(prev, self.state)
+        self.state = self._replicate(self.state)
         if host.get("loader_state") and hasattr(self.loader,
                                                 "load_state_dict"):
             self.loader.load_state_dict(host["loader_state"])
@@ -108,8 +132,10 @@ class Trainer:
         next_decay = [s for s in t.stepsize if s > start]
         last_losses: Dict[str, float] = {}
         from lang2seg_tpu.data.prefetch import Prefetcher
-        prefetcher = Prefetcher(lambda: self.loader.get_batch("train"),
-                                depth=self.prefetch_depth)
+        prefetcher = Prefetcher(
+            lambda: self.loader.get_batch("train",
+                                          num_shards=self.num_shards),
+            depth=self.prefetch_depth)
         it = start
         while it < max_iters:
             if profile_dir is not None and it == profile_steps[0]:

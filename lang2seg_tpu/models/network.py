@@ -72,7 +72,8 @@ class Lang2Seg(nn.Module):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
         if m.backbone.startswith("resnet"):
-            self.backbone = ResNetC4(depth=m.backbone, dtype=dtype)
+            self.backbone = ResNetC4(depth=m.backbone, dtype=dtype,
+                                     tail_matmul=m.tail_matmul)
         elif m.backbone == "mobilenet_v1":
             from lang2seg_tpu.models.mobilenet import MobileNetV1
             self.backbone = MobileNetV1(dtype=dtype)
@@ -99,6 +100,11 @@ class Lang2Seg(nn.Module):
         if m.use_caption_loss:
             from lang2seg_tpu.models.caption_zoo import setup_captioner
             self.captioner = setup_captioner(m)
+        if m.use_attribute_head:
+            # multi-label attribute scores from pooled ROI features
+            # (capability parity with MAttNet's att branch,
+            # eval_easy_utils.py:54-57)
+            self.att_head = nn.Dense(m.num_attributes, name="att_head")
 
     # ---------- building blocks ----------
 
@@ -119,9 +125,18 @@ class Lang2Seg(nn.Module):
         4096) (vgg)."""
         m = self.cfg.model
         scale = 1.0 / m.feat_stride
-        crops = jax.vmap(
-            lambda f, r: roi_crop_pool(f, r, m.pooling_size, scale,
-                                       m.max_pool))(gated, rois)
+        if m.pooling_mode == "pool":
+            # POOLING_MODE='pool': ROI max-pooling (roi_pooling_kernel.cu
+            # via roi_pool_py.py oracle); default 'crop' is the reference's
+            # active path (model/config.py:273)
+            from lang2seg_tpu.ops.roi_align import roi_max_pool
+            crops = jax.vmap(
+                lambda f, r: roi_max_pool(f, r, m.pooling_size, scale)
+            )(gated, rois)
+        else:
+            crops = jax.vmap(
+                lambda f, r: roi_crop_pool(f, r, m.pooling_size, scale,
+                                           m.max_pool))(gated, rois)
         e, r = crops.shape[0], crops.shape[1]
         flat = crops.reshape(e * r, *crops.shape[2:])
         if m.backbone == "vgg16":
@@ -176,7 +191,15 @@ class Lang2Seg(nn.Module):
 
         im_hw = batch["im_hw"][batch["img_idx"]]             # (E, 2)
         key = self.make_rng("sampling")
-        keys = jax.random.split(key, e)
+        if "expr_uid" in batch:
+            # per-example keys derived from stable example ids: sampling is
+            # then invariant to batch composition/sharding (the data-parallel
+            # step feeds each device its own block; identical examples draw
+            # identical anchor/ROI subsamples either way)
+            keys = jax.vmap(lambda u: jax.random.fold_in(key, u))(
+                batch["expr_uid"])
+        else:
+            keys = jax.random.split(key, e)
 
         def per_expr(cls_e, box_e, hw, gt_b, gt_v, gt_m, k):
             k1, k2 = jax.random.split(k)
@@ -270,6 +293,21 @@ class Lang2Seg(nn.Module):
             losses["loss_response"] = (jnp.sum(bce * vmask)
                                        / jnp.maximum(jnp.sum(vmask), 1.0))
 
+        # ---- attribute loss (multi-label BCE on GT-box features) ----
+        if m.use_attribute_head and "att_labels" in batch:
+            # crop the (un-gated) conv map at the GT box: attributes are a
+            # property of the referred object, not the expression
+            gt_fc7 = self._roi_features(net_conv,
+                                        gt_boxes[:, :1, :4])  # (E,1,7,7,D)
+            pooled = gt_fc7[:, 0].mean(axis=(1, 2)).astype(jnp.float32)
+            att_logits = self.att_head(pooled)               # (E, A)
+            att_bce = bce_with_logits(att_logits, batch["att_labels"])
+            av = batch.get("att_valid",
+                           jnp.ones((e,), bool)).astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(av), 1.0) * att_logits.shape[1]
+            losses["loss_att"] = m.att_loss_weight * \
+                jnp.sum(att_bce * av[:, None]) / denom
+
         # ---- caption (cycle-consistency) loss ----
         if m.use_caption_loss and m.use_language:
             losses["loss_caption"] = m.cap_loss_weight * self._caption_loss(
@@ -335,20 +373,22 @@ class Lang2Seg(nn.Module):
         n = anchors.shape[0]
         hw = batch["im_hw"][0]
 
-        def per_expr(cls_e, box_e):
+        def per_expr(cls_e, box_e, k):
             score_pos = jax.nn.softmax(cls_e.reshape(n, 2), axis=-1)[:, 1]
             if ts.mode == "top":
                 # NMS-free top-N alternative (cfg.TEST.MODE='top',
-                # proposal_top_layer.py:18-67)
+                # proposal_top_layer.py:18-67); when n < top_n the layer
+                # random-pads with replacement, so it needs a key
                 return proposal_top_layer(
                     score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
-                    min(ts.rpn_top_n, n), None)
+                    ts.rpn_top_n, k)
             return proposal_layer(
                 score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                 ts.rpn_pre_nms_top_n, ts.rpn_post_nms_top_n,
                 ts.rpn_nms_thresh)
 
-        props = jax.vmap(per_expr)(rpn_cls, rpn_box)
+        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), e)
+        props = jax.vmap(per_expr)(rpn_cls, rpn_box, keys)
         spatial_fc7 = self._roi_features(gated, props.rois)
         r = spatial_fc7.shape[1]
         cls_score, bbox_pred = self.box_head(
@@ -365,6 +405,18 @@ class Lang2Seg(nn.Module):
                 "cls_score": cls_score, "cls_prob": cls_prob,
                 "bbox_pred": bbox_pred.reshape(e, r, -1),
                 "gated_conv": gated, "response": response}
+
+    def predict_attribute_scores(self, images: jnp.ndarray,
+                                 boxes: jnp.ndarray) -> jnp.ndarray:
+        """Sigmoid attribute scores for GT/candidate boxes.
+
+        images: (1, H, W, 3); boxes: (1, B, 4) scaled coords.
+        Returns (1, B, num_attributes) in [0, 1] (reference
+        eval_easy_utils.py:54-57 thresholds these at 0.5)."""
+        net_conv = self.backbone.head(images)
+        fc7 = self._roi_features(net_conv, boxes)
+        pooled = fc7.mean(axis=(2, 3)).astype(jnp.float32)
+        return jax.nn.sigmoid(self.att_head(pooled))
 
     def predict_masks(self, gated_conv: jnp.ndarray, boxes: jnp.ndarray,
                       labels: jnp.ndarray) -> jnp.ndarray:

@@ -2,9 +2,21 @@
 
 Sharding contract: every batch array shards along axis 0; each device's
 shard is self-contained — its `img_idx` entries index into ITS OWN image
-shard (the loader emits per-device blocks, see data/loader.py). Params and
-optimizer state are replicated; gradients are averaged with `psum`-based
-pmean over the `data` axis (rides ICI on a TPU slice).
+shard. `GtBatchLoader.get_batch(num_shards=n)` emits such per-device
+blocks (data/loader.py): the global batch is n blocks of (I images,
+E expressions) concatenated along axis 0 with img_idx local to each block.
+Params and optimizer state are replicated; gradients are averaged with
+`psum`-based pmean over the `data` axis (rides ICI on a TPU slice).
+
+Loss semantics: the step optimizes the MEAN over shards of each shard's
+loss. For losses normalized by per-shard weight sums (e.g. the weighted
+CE terms) this equals the global weighted mean only when shards carry
+equal weight totals — the standard data-parallel convention.
+
+Per-example randomness: when the batch carries `expr_uid` (stable example
+ids, emitted by the loader), anchor/ROI subsampling keys are derived per
+example (models/network.py) and need no shard decorrelation; dropout keys
+are folded with the shard index.
 """
 
 from __future__ import annotations
@@ -25,22 +37,31 @@ from lang2seg_tpu.models.network import Lang2Seg
 
 def shard_batch(batch: Dict, num_shards: int) -> Dict:
     """Validate a host batch is shardable: every array's leading dim must
-    divide evenly by the mesh size."""
+    divide evenly by the mesh size, and each shard's img_idx must index
+    its OWN image block (in [0, images_per_shard))."""
     for k, v in batch.items():
         assert v.shape[0] % num_shards == 0, \
             f"{k} leading dim {v.shape[0]} not divisible by {num_shards}"
+    if "img_idx" in batch and "images" in batch:
+        per_img = batch["images"].shape[0] // num_shards
+        idx = jnp.asarray(batch["img_idx"]).reshape(num_shards, -1)
+        assert bool(jnp.all((idx >= 0) & (idx < per_img))), \
+            (f"img_idx must be local to each shard's image block "
+             f"(0..{per_img - 1}); got per-shard ranges "
+             f"{[(int(r.min()), int(r.max())) for r in idx]}")
     return batch
 
 
 def make_sharded_train_step(model: Lang2Seg, cfg: Config,
-                            tx: optax.GradientTransformation, mesh: Mesh):
-    n = mesh.shape["data"]
-
+                            tx: optax.GradientTransformation, mesh: Mesh,
+                            donate: bool = False):
     def _step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, d_rng, s_rng = jax.random.split(state.rng, 3)
         shard_id = jax.lax.axis_index("data")
         d_rng = jax.random.fold_in(d_rng, shard_id)
-        s_rng = jax.random.fold_in(s_rng, shard_id)
+        if "expr_uid" not in batch:
+            # no stable example ids -> decorrelate sampling by shard
+            s_rng = jax.random.fold_in(s_rng, shard_id)
 
         def loss_fn(params):
             losses = model.apply(
@@ -64,4 +85,4 @@ def make_sharded_train_step(model: Lang2Seg, cfg: Config,
         out_specs=(P(), P()),
         check_vma=False)
 
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -135,6 +135,38 @@ def test_spatial_7f_response_variant():
     assert np.isfinite(float(losses["total_loss"]))
 
 
+def test_tail_matmul_parity(rng):
+    """layer4 with the explicit-matmul conv impl == the nn.Conv lowering
+    with identical params (the perf path must be math-identical)."""
+    from lang2seg_tpu.models.resnet import ResNetC4
+    m1 = ResNetC4(depth="resnet26", dtype=jnp.float32)
+    m2 = ResNetC4(depth="resnet26", dtype=jnp.float32, tail_matmul=True)
+    img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    params = m1.init(jax.random.PRNGKey(0), img)["params"]
+    crops = jnp.asarray(rng.randn(4, 7, 7, 1024).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        a = m1.apply({"params": params}, crops, method=ResNetC4.tail)
+        b = m2.apply({"params": params}, crops, method=ResNetC4.tail)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pooling_mode_pool_variant():
+    """POOLING_MODE='pool' end-to-end: ROI max-pool feeds the heads and
+    the custom-vjp backward runs under grad (model/config.py:273)."""
+    cfg = tiny_config()
+    cfg.model.pooling_mode = "pool"
+    model, tx, state = create_train_state(cfg)
+    step = make_train_step(model, cfg, tx)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, 1, 2, seed=5).items()}
+    new_state, losses = step(state, batch)
+    assert np.isfinite(float(losses["total_loss"]))
+    assert not np.array_equal(
+        np.asarray(state.params["rpn_head"]["rpn_conv"]["kernel"]),
+        np.asarray(new_state.params["rpn_head"]["rpn_conv"]["kernel"]))
+
+
 def test_test_forward_top_mode(trained_step):
     cfg, model, state, step, batch = trained_step
     import dataclasses

@@ -51,6 +51,42 @@ def test_train_snapshot_resume(env, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_3"))
 
 
+def test_train_data_parallel_snapshot_resume(env, tmp_path):
+    """Production DP path: Trainer with cfg.parallel.num_data=8 builds the
+    shard_map step, the loader emits 8 self-contained per-device blocks,
+    and snapshot/resume round-trips through the sharded state (VERDICT r1
+    item 1)."""
+    import copy
+    import jax
+    cfg, jp, hp, root = env
+    assert len(jax.devices()) == 8
+    cfg = copy.deepcopy(cfg)
+    cfg.parallel.num_data = 8
+    cfg.train.images_per_batch = 1       # per shard
+    cfg.train.expressions_per_batch = 2  # per shard
+    out_dir = str(tmp_path / "dp_run")
+
+    loader = GtBatchLoader(jp, hp, cfg, seed=3)
+    # loader contract: 8 blocks, img_idx local to each block
+    b = loader.get_batch("train", num_shards=8)
+    assert b["images"].shape[0] == 8
+    assert b["img_idx"].shape[0] == 16 and (b["img_idx"] == 0).all()
+    assert b["expr_uid"].shape == (16,)
+
+    tr = Trainer(cfg, loader, out_dir)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    losses = tr.train(max_iters=2)
+    assert np.isfinite(losses["total_loss"])
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_2"))
+
+    loader2 = GtBatchLoader(jp, hp, cfg, seed=99)
+    tr2 = Trainer(cfg, loader2, out_dir)
+    losses2 = tr2.train(max_iters=3)
+    assert int(tr2.state.step) == 3
+    assert np.isfinite(losses2["total_loss"])
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_3"))
+
+
 def test_checkpoint_tolerant_restore():
     import jax.numpy as jnp
     from lang2seg_tpu.engine.checkpoint import tolerant_restore_params
