@@ -98,6 +98,7 @@ class ModelConfig:
     feat_stride: int = 16
     pooling_size: int = 7
     mask_size: int = 14
+    pooling_mode: str = "crop"              # 'crop' | 'pool' (POOLING_MODE, config.py:273)
     max_pool: bool = False                  # crop 2x then maxpool (RESNET.MAX_POOL)
     fixed_blocks: int = 1                   # frozen resnet stages (conv1 always frozen)
     c4_feat_dim: int = 1024                 # 512 for vgg16
@@ -130,6 +131,12 @@ class ModelConfig:
     use_caption_loss: bool = False
     cap_loss_weight: float = 1.0
 
+    # attribute prediction (MAttNet-lineage capability: att vocab from
+    # prepro + multi-label head + P/R/F1 eval, eval_easy_utils.py:17-91)
+    use_attribute_head: bool = False
+    num_attributes: int = 50
+    att_loss_weight: float = 1.0
+
     # captioner (att2in2; reference tools/opt_cycle.py:81-117)
     caption_model: str = "att2in2"
     cap_vocab_size: int = 2000
@@ -141,10 +148,18 @@ class ModelConfig:
     cap_att_feat_size: int = 4096
     cap_drop_prob_lm: float = 0.5
     cap_scheduled_sampling_prob: float = 0.0
+    # annealing schedule (opt_cycle.py:106-109), epoch-indexed
+    cap_ss_start: int = -1                  # -1 = disabled
+    cap_ss_increase_every: int = 5
+    cap_ss_increase_prob: float = 0.05
+    cap_ss_max_prob: float = 0.25
 
     # numerics
     compute_dtype: str = "bfloat16"         # backbone conv compute dtype
     param_dtype: str = "float32"
+    # ROI-tail (layer4 on 7x7 crops) as explicit MXU matmuls — same math
+    # and params as the conv lowering, faster tiling (models/resnet.py)
+    tail_matmul: bool = False
 
 
 @dataclass

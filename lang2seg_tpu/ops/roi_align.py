@@ -16,6 +16,8 @@ src = floor((dst + 0.5) * size_in / size_out)).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -80,6 +82,102 @@ def roi_crop_pool(feat: jnp.ndarray, rois: jnp.ndarray, pooling_size: int,
     r, s2, _, c = crops.shape
     crops = crops.reshape(r, s2 // 2, 2, s2 // 2, 2, c)
     return crops.max(axis=(2, 4))
+
+
+def _roi_pool_bins(rois: jnp.ndarray, pooled: int, spatial_scale: float,
+                   h: int, w: int):
+    """Per-ROI per-bin [start, end) windows, reference RoIPool semantics
+    (roi_pool_py.py:20-38 / roi_pooling_kernel.cu:23-54): rounded scaled
+    corners, roi extent >= 1, bin k covers
+    [floor(k*bin), ceil((k+1)*bin)) + start, clipped to the map."""
+    r = jnp.round(rois * spatial_scale).astype(jnp.int32)    # (R, 4)
+    x1, y1, x2, y2 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    rw = jnp.maximum(x2 - x1 + 1, 1).astype(jnp.float32)
+    rh = jnp.maximum(y2 - y1 + 1, 1).astype(jnp.float32)
+    bw = rw / pooled
+    bh = rh / pooled
+    k = jnp.arange(pooled, dtype=jnp.float32)
+    hs = jnp.floor(k[None, :] * bh[:, None]).astype(jnp.int32) + y1[:, None]
+    he = jnp.ceil((k[None, :] + 1) * bh[:, None]).astype(jnp.int32) \
+        + y1[:, None]
+    ws = jnp.floor(k[None, :] * bw[:, None]).astype(jnp.int32) + x1[:, None]
+    we = jnp.ceil((k[None, :] + 1) * bw[:, None]).astype(jnp.int32) \
+        + x1[:, None]
+    hs = jnp.clip(hs, 0, h)
+    he = jnp.clip(he, 0, h)
+    ws = jnp.clip(ws, 0, w)
+    we = jnp.clip(we, 0, w)
+    return hs, he, ws, we                                    # each (R, P)
+
+
+def _roi_max_pool_fwd_impl(feat, rois, pooled, spatial_scale):
+    h, w, c = feat.shape
+    hs, he, ws, we = _roi_pool_bins(rois, pooled, spatial_scale, h, w)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    # memberships: (R, P, H) and (R, P, W); XLA fuses the broadcasted
+    # where+reduce below without materializing the (R,P,P,H,W,C) tensor
+    my = (ys[None, None, :] >= hs[:, :, None]) & \
+        (ys[None, None, :] < he[:, :, None])
+    mx = (xs[None, None, :] >= ws[:, :, None]) & \
+        (xs[None, None, :] < we[:, :, None])
+    neg = jnp.asarray(-jnp.inf, feat.dtype)
+    # separable: max over rows within each h-bin first -> (R, P, W, C)
+    rowmax = jnp.max(
+        jnp.where(my[:, :, :, None, None], feat[None, None, :, :, :], neg),
+        axis=2)
+    out = jnp.max(
+        jnp.where(mx[:, None, :, :, None], rowmax[:, :, None, :, :], neg),
+        axis=3)                                              # (R, Ph, Pw, C)
+    empty = (he <= hs)[:, :, None, None] | (we <= ws)[:, None, :, None]
+    return jnp.where(empty, jnp.zeros((), feat.dtype), out), empty
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def roi_max_pool(feat: jnp.ndarray, rois: jnp.ndarray, pooled: int,
+                 spatial_scale: float) -> jnp.ndarray:
+    """ROI max-pooling, POOLING_MODE='pool' (model/config.py:273).
+
+    feat: (H, W, C); rois: (R, 4) [x1 y1 x2 y2] image coords.
+    Returns (R, P, P, C). Forward parity: roi_pool_py.py:7-48 (the
+    reference's in-tree oracle for roi_pooling_kernel.cu). Backward:
+    gradients scatter-add to each bin's argmax position — first maximum
+    in row-major order, matching the CUDA kernel's strict-greater scan
+    (roi_pooling_kernel.cu:56-63,158-199)."""
+    out, _ = _roi_max_pool_fwd_impl(feat, rois, pooled, spatial_scale)
+    return out
+
+
+def _roi_max_pool_fwd(feat, rois, pooled, spatial_scale):
+    out, _ = _roi_max_pool_fwd_impl(feat, rois, pooled, spatial_scale)
+    return out, (feat, rois)
+
+
+def _roi_max_pool_bwd(pooled, spatial_scale, res, g):
+    feat, rois = res
+    h, w, c = feat.shape
+    hs, he, ws, we = _roi_pool_bins(rois, pooled, spatial_scale, h, w)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    my = (ys[None, None, :] >= hs[:, :, None]) & \
+        (ys[None, None, :] < he[:, :, None])                 # (R, P, H)
+    mx = (xs[None, None, :] >= ws[:, :, None]) & \
+        (xs[None, None, :] < we[:, :, None])                 # (R, P, W)
+    member = my[:, :, None, :, None] & mx[:, None, :, None, :]
+    neg = jnp.asarray(-jnp.inf, feat.dtype)
+    vals = jnp.where(member[..., None],
+                     feat[None, None, None, :, :, :], neg)   # (R,P,P,H,W,C)
+    flat = vals.reshape(*vals.shape[:3], h * w, c)
+    amax = jnp.argmax(flat, axis=3)                          # (R, P, P, C)
+    empty = (he <= hs)[:, :, None, None] | (we <= ws)[:, None, :, None]
+    gz = jnp.where(empty, 0.0, g.astype(jnp.float32))
+    cidx = jnp.broadcast_to(jnp.arange(c), amax.shape)
+    dfeat = jnp.zeros((h * w, c), jnp.float32).at[
+        amax.reshape(-1), cidx.reshape(-1)].add(gz.reshape(-1))
+    return dfeat.reshape(h, w, c).astype(feat.dtype), None
+
+
+roi_max_pool.defvjp(_roi_max_pool_fwd, _roi_max_pool_bwd)
 
 
 def roi_nearest_crop(mask: jnp.ndarray, rois: jnp.ndarray,
