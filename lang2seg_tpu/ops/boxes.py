@@ -17,13 +17,17 @@ def encode_boxes(ex_rois: jnp.ndarray, gt_rois: jnp.ndarray) -> jnp.ndarray:
     ex_rois, gt_rois: (N, 4) [x1 y1 x2 y2]. Returns (N, 4) [dx dy dw dh].
     Parity: reference bbox_transform (bbox_transform.py:14-33).
     """
-    ex_w = ex_rois[:, 2] - ex_rois[:, 0] + 1.0
-    ex_h = ex_rois[:, 3] - ex_rois[:, 1] + 1.0
+    # clamp extents to a tiny positive so degenerate/padded boxes (x2 < x1)
+    # encode to finite values instead of log-of-nonpositive NaN/inf; valid
+    # boxes under the +1 convention have extent >= 1, so this never binds
+    # for real inputs (targets on degenerate boxes are masked downstream)
+    ex_w = jnp.maximum(ex_rois[:, 2] - ex_rois[:, 0] + 1.0, 1e-6)
+    ex_h = jnp.maximum(ex_rois[:, 3] - ex_rois[:, 1] + 1.0, 1e-6)
     ex_cx = ex_rois[:, 0] + 0.5 * ex_w
     ex_cy = ex_rois[:, 1] + 0.5 * ex_h
 
-    gt_w = gt_rois[:, 2] - gt_rois[:, 0] + 1.0
-    gt_h = gt_rois[:, 3] - gt_rois[:, 1] + 1.0
+    gt_w = jnp.maximum(gt_rois[:, 2] - gt_rois[:, 0] + 1.0, 1e-6)
+    gt_h = jnp.maximum(gt_rois[:, 3] - gt_rois[:, 1] + 1.0, 1e-6)
     gt_cx = gt_rois[:, 0] + 0.5 * gt_w
     gt_cy = gt_rois[:, 1] + 0.5 * gt_h
 

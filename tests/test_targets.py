@@ -156,3 +156,28 @@ def test_proposal_targets_mask_crop_correct(rng):
     if x1 >= 0 and y1 >= 0:
         np.testing.assert_array_equal(np.asarray(out.mask_targets)[0],
                                       nearest_oracle(cropped))
+
+
+def test_targets_finite_without_nanguard(monkeypatch):
+    """With the miscompile guard disabled, degenerate/padded GT boxes must
+    still encode to finite targets (encode_boxes clamps extents at the
+    source) — so the guard cannot be hiding genuine NaNs (VERDICT r1 #9)."""
+    from lang2seg_tpu.ops import targets as T
+    monkeypatch.setattr(T, "_NANGUARD", False)
+    anchors, gt, gt_valid = make_scene()
+    # degenerate box (x2 < x1, y2 < y1) marked valid: worst case
+    gt = gt.at[2].set(jnp.asarray([50.0, 50.0, 10.0, 20.0, 3.0]))
+    gt_valid = jnp.asarray([True, True, True])
+    key = jax.random.PRNGKey(7)
+    at = T.anchor_targets(anchors, gt, gt_valid, 160.0, 256.0, key)
+    assert np.isfinite(np.asarray(at.bbox_targets)).all()
+
+    rois = jnp.asarray([[0.0, 0.0, 0.0, 0.0],
+                        [30.0, 30.0, 80.0, 110.0],
+                        [90.0, 25.0, 210.0, 150.0],
+                        [55.0, 55.0, 5.0, 15.0]], jnp.float32)  # degenerate
+    pt = T.proposal_targets(rois, jnp.asarray([True, True, True, True]),
+                            gt, gt_valid,
+                            jnp.zeros((3, 160, 256), jnp.uint8),
+                            key, num_rois=8)
+    assert np.isfinite(np.asarray(pt.bbox_targets)).all()
