@@ -59,17 +59,32 @@ def extract_caption_features(model: Lang2Seg, params, batch,
     return model.apply({"params": params}, method=lambda mdl: run(mdl))
 
 
+def scheduled_sampling_prob(epoch: int, start: int = -1,
+                            increase_every: int = 5,
+                            increase_prob: float = 0.05,
+                            max_prob: float = 0.25) -> float:
+    """Scheduled-sampling annealing (reference flags opt_cycle.py:106-109,
+    self-critical recipe): disabled until `start`, then the sampling
+    probability rises by `increase_prob` every `increase_every` epochs,
+    capped at `max_prob`."""
+    if start < 0 or epoch < start:
+        return 0.0
+    frac = (epoch - start) // increase_every
+    return min(increase_prob * frac, max_prob)
+
+
 def make_captioner_train_step(captioner, lr: float = 5e-4):
     tx = optax.adam(lr)
 
     @jax.jit
-    def step(state: CaptionerTrainState, fc, att, seq, mask):
+    def step(state: CaptionerTrainState, fc, att, seq, mask,
+             ss_prob=jnp.zeros(())):
         rng, d_rng = jax.random.split(state.rng)
 
         def loss_fn(p):
             return captioner.apply(
                 {"params": p}, fc, att, seq, mask, True,
-                rngs={"dropout": d_rng},
+                rngs={"dropout": d_rng}, ss_prob=ss_prob,
                 method=type(captioner).teacher_forced_nll)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -79,6 +94,60 @@ def make_captioner_train_step(captioner, lr: float = 5e-4):
                                    opt_state=new_opt, rng=rng), loss
 
     return step, tx
+
+
+def run_captioner_training(cfg: Config, batch_iter, max_iters: int,
+                           iters_per_epoch: int = 1,
+                           val_iter=None, val_every: int = 0,
+                           ckpt_dir: Optional[str] = None) -> Dict:
+    """Captioner pretraining loop with the reference's scheduled-sampling
+    annealing (opt_cycle.py:106-109: start / increase_every /
+    increase_prob / max_prob, epoch-indexed) and best-val tracking
+    (README step 3: model-best.pth).
+
+    batch_iter yields (fc, att, seq, mask) feature batches.
+    """
+    m = cfg.model
+    captioner, state, step_fn = init_captioner_state(cfg)
+    best_val, history = np.inf, []
+    for it in range(max_iters):
+        epoch = it // max(iters_per_epoch, 1)
+        p = scheduled_sampling_prob(
+            epoch, m.cap_ss_start, m.cap_ss_increase_every,
+            m.cap_ss_increase_prob, m.cap_ss_max_prob)
+        fc, att, seq, mask = next(batch_iter)
+        state, loss = step_fn(state, fc, att, seq, mask,
+                              jnp.asarray(p, jnp.float32))
+        history.append({"iter": it, "epoch": epoch, "ss_prob": p,
+                        "loss": float(loss)})
+        if val_every and val_iter is not None and (it + 1) % val_every == 0:
+            vfc, vatt, vseq, vmask = next(val_iter)
+            vl = float(captioner.apply(
+                {"params": state.params}, vfc, vatt, vseq, vmask, False,
+                method=type(captioner).teacher_forced_nll))
+            if vl < best_val:
+                best_val = vl
+                if ckpt_dir is not None:
+                    os.makedirs(ckpt_dir, exist_ok=True)
+                    _save_params_npz(
+                        os.path.join(ckpt_dir, "model-best.npz"),
+                        state.params)
+    return {"state": state, "captioner": captioner, "history": history,
+            "best_val": best_val}
+
+
+def _save_params_npz(path: str, params):
+    flat = {}
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, prefix + (k,))
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    rec(jax.tree_util.tree_map(lambda x: x, params), ())
+    np.savez(path, **flat)
 
 
 def init_captioner_state(cfg: Config, rng=None) -> Tuple:

@@ -112,9 +112,13 @@ class Att2In2Captioner(nn.Module):
     # ---------- teacher forcing ----------
 
     def teacher_forced_logprobs(self, fc_feats, att_feats, seq,
-                                train: bool = True):
+                                train: bool = True, ss_prob=None):
         """seq: (B, T) with BOS=0 at column 0. Returns log-probs
-        (B, T-1, V+1) for predicting seq[:, 1:]."""
+        (B, T-1, V+1) for predicting seq[:, 1:].
+
+        ss_prob: optional traced scalar overriding the static self.ss_prob
+        — lets the annealing schedule (engine/train_captioner.py) change
+        the probability at runtime without recompiling."""
         b, t = seq.shape
         rng = self.make_rng("dropout") if train else None
         feat_key = scan_key = None
@@ -124,13 +128,15 @@ class Att2In2Captioner(nn.Module):
             scan_key = jax.random.PRNGKey(0)
         fc, att, p_att = self._prep_feats(fc_feats, att_feats, feat_key)
         h0 = jnp.zeros((b, self.rnn_size), fc.dtype)
+        use_ss = train and (ss_prob is not None or self.ss_prob > 0.0)
+        p_ss = self.ss_prob if ss_prob is None else ss_prob
 
         def step(carry, inp):
             h, c, prev_logp, key = carry
             it, step_i = inp
             key, k_ss, k_samp, k_e, k_c = jax.random.split(key, 5)
-            if self.ss_prob > 0.0 and train:
-                use_sample = (jax.random.uniform(k_ss, (b,)) < self.ss_prob) \
+            if use_ss:
+                use_sample = (jax.random.uniform(k_ss, (b,)) < p_ss) \
                     & (step_i >= 1)
                 sampled = jax.random.categorical(k_samp, prev_logp, axis=-1)
                 it = jnp.where(use_sample, sampled.astype(it.dtype), it)
@@ -146,10 +152,11 @@ class Att2In2Captioner(nn.Module):
         return logps.transpose(1, 0, 2)                # (B, T-1, V+1)
 
     def teacher_forced_nll(self, fc_feats, att_feats, seq, mask,
-                           train: bool = True):
+                           train: bool = True, ss_prob=None):
         """LanguageModelCriterion (misc/utils.py:39-53): masked mean NLL of
         seq[:, 1:] under the teacher-forced distribution."""
-        logps = self.teacher_forced_logprobs(fc_feats, att_feats, seq, train)
+        logps = self.teacher_forced_logprobs(fc_feats, att_feats, seq, train,
+                                             ss_prob=ss_prob)
         target = seq[:, 1:]
         m = mask[:, 1:1 + logps.shape[1]].astype(logps.dtype)
         nll = -jnp.take_along_axis(logps, target[..., None], axis=-1)[..., 0]

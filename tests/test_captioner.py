@@ -76,3 +76,40 @@ def test_beam_search_beats_or_matches_greedy():
     assert np.isfinite(np.asarray(beam_score)).all()
     # UNK (last index) suppressed
     assert (np.asarray(beam_seq) != 50).all()
+
+
+def test_scheduled_sampling_schedule_values():
+    from lang2seg_tpu.engine.train_captioner import scheduled_sampling_prob
+    # disabled
+    assert scheduled_sampling_prob(100, start=-1) == 0.0
+    # reference defaults: start, +0.05 every 5 epochs, cap 0.25
+    assert scheduled_sampling_prob(0, start=0) == 0.0
+    assert scheduled_sampling_prob(4, start=0) == 0.0
+    assert scheduled_sampling_prob(5, start=0) == 0.05
+    assert scheduled_sampling_prob(14, start=0) == 0.10
+    assert scheduled_sampling_prob(25, start=0) == 0.25
+    assert scheduled_sampling_prob(500, start=0) == 0.25   # capped
+    assert scheduled_sampling_prob(3, start=10) == 0.0     # before start
+
+
+def test_ss_prob_changes_sampling_behavior():
+    """With ss_prob=1 every step >= 1 feeds a sampled token instead of the
+    ground truth -> teacher-forced log-probs must differ from ss_prob=0
+    (AttModel.py:76-88). Passed as a traced override (no recompile)."""
+    capt = make_capt()
+    params, fc, att, seq, mask = init_capt(capt)
+    seq = seq.at[:, 1:8].set(jnp.asarray([3, 9, 2, 7, 5, 1, 4]))
+
+    def run(p):
+        return capt.apply(params, fc, att, seq, True,
+                          rngs={"dropout": jax.random.PRNGKey(2)},
+                          ss_prob=jnp.asarray(p, jnp.float32),
+                          method=Att2In2Captioner.teacher_forced_logprobs)
+
+    jr = jax.jit(run)
+    lp0 = np.asarray(jr(0.0))
+    lp1 = np.asarray(jr(1.0))
+    lp0b = np.asarray(jr(0.0))
+    np.testing.assert_allclose(lp0, lp0b, rtol=1e-6)   # deterministic
+    # step 0 consumes BOS either way; later steps diverge
+    assert not np.allclose(lp0[:, 2:], lp1[:, 2:], atol=1e-5)
