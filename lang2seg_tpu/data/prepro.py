@@ -116,9 +116,16 @@ def prepare_json(refer, sent_to_final) -> Dict:
 
 def run_prepro(data_root: str, dataset: str, split_by: str,
                output_dir: str, max_length: int = None,
-               count_threshold: int = 5) -> Tuple[str, str]:
+               count_threshold: int = 5, att_json: str = None,
+               att_top_k: int = 50) -> Tuple[str, str]:
     """Full pipeline: REFER -> cache/prepro/<dataset_splitBy>/data.json +
-    data.h5 (reference prepro.py:231-291)."""
+    data.h5 (reference prepro.py:231-291).
+
+    att_json: optional refer-parser2 attribute file ({ref_id: [att_wd]});
+    when given, the top-k attribute vocab (att_to_ix) and per-ref att_wds
+    are written into data.json (reference build_att_vocab,
+    prepro.py:190-229), feeding the attribute head/eval
+    (engine/attributes.py)."""
     import h5py
     from lang2seg_tpu.data.refer import REFER
 
@@ -136,6 +143,12 @@ def run_prepro(data_root: str, dataset: str, split_by: str,
     out["ix_to_word"] = {str(i): w for i, w in enumerate(vocab)}
     out["cat_to_ix"] = {refer.Cats[cid]: cid for cid in refer.Cats}
     out["ix_to_cat"] = {str(cid): refer.Cats[cid] for cid in refer.Cats}
+
+    if att_json is not None:
+        att_to_ix, ref_atts = build_att_vocab(att_json, att_top_k)
+        out["att_to_ix"] = att_to_ix
+        for r in out["refs"]:
+            r["att_wds"] = ref_atts.get(r["ref_id"], [])
 
     os.makedirs(output_dir, exist_ok=True)
     json_path = os.path.join(output_dir, "data.json")

@@ -51,6 +51,10 @@ def init_params(model: Lang2Seg, cfg: Config, rng) -> Any:
         t = cfg.model.cap_seq_length + 2
         dummy["cap_labels"] = jnp.ones((1, t), jnp.int32)
         dummy["cap_masks"] = jnp.ones((1, t), jnp.float32)
+    if cfg.model.use_attribute_head:
+        dummy["att_labels"] = jnp.zeros((1, cfg.model.num_attributes),
+                                        jnp.float32)
+        dummy["att_valid"] = jnp.ones((1,), bool)
     p_rng, d_rng, s_rng = jax.random.split(rng, 3)
     variables = model.init(
         {"params": p_rng, "dropout": d_rng, "sampling": s_rng},
