@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -51,6 +52,48 @@ def _conv(features, kernel, stride, dtype, name=None):
                    dtype=dtype, name=name)
 
 
+class MatmulConv(nn.Module):
+    """Convolution expressed as explicit MXU matmuls (parameter-compatible
+    with nn.Conv: one 'kernel' of (kh, kw, C, K)).
+
+    Motivation: the ROI tail runs layer4 over thousands of tiny 7x7 crops;
+    XLA's conv lowering tiles that small spatial extent poorly on the MXU
+    (~25% utilization measured). A 3x3/pad-1 conv over (R, S, S, C) is
+    exactly 9 shifted (R*S*S, C) x (C, K) matmuls accumulated in f32 —
+    shapes the MXU tiles natively. 1x1 convs become a single matmul."""
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, c, self.features))
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        r, h, ww, _ = x.shape
+        if self.kernel == 1:
+            if self.stride > 1:
+                x = x[:, ::self.stride, ::self.stride, :]
+                h, ww = x.shape[1], x.shape[2]
+            out = jax.lax.dot(x.reshape(-1, c), w[0, 0],
+                              preferred_element_type=jnp.float32)
+            return out.reshape(r, h, ww, self.features).astype(self.dtype)
+        assert self.kernel == 3 and self.stride == 1, \
+            "MatmulConv supports 1x1/any-stride and 3x3/stride-1"
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                win = xp[:, dy:dy + h, dx:dx + ww, :].reshape(-1, c)
+                part = jax.lax.dot(win, w[dy, dx],
+                                   preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+        return acc.reshape(r, h, ww, self.features).astype(self.dtype)
+
+
 class Bottleneck(nn.Module):
     """Caffe-style bottleneck: stride sits on conv1 (reference
     resnet_v1.py:80 'change')."""
@@ -58,21 +101,29 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    matmul_conv: bool = False     # explicit-MXU-matmul conv impl (ROI tail)
 
     @nn.compact
     def __call__(self, x):
+        if self.matmul_conv:
+            def conv(planes, kernel, stride, name):
+                return MatmulConv(planes, kernel, stride, self.dtype,
+                                  name=name)
+        else:
+            def conv(planes, kernel, stride, name):
+                return _conv(planes, kernel, stride, self.dtype, name)
         residual = x
-        out = _conv(self.planes, 1, self.stride, self.dtype, "conv1")(x)
+        out = conv(self.planes, 1, self.stride, "conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, self.dtype, "conv2")(out)
+        out = conv(self.planes, 3, 1, "conv2")(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, 1, self.dtype, "conv3")(out)
+        out = conv(self.planes * 4, 1, 1, "conv3")(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.has_downsample:
-            residual = _conv(self.planes * 4, 1, self.stride, self.dtype,
-                             "downsample_conv")(x)
+            residual = conv(self.planes * 4, 1, self.stride,
+                            "downsample_conv")(x)
             residual = FrozenBatchNorm(self.planes * 4,
                                        name="downsample_bn")(residual)
         return nn.relu(out + residual)
@@ -83,14 +134,15 @@ class _Stage(nn.Module):
     blocks: int
     stride: int
     dtype: jnp.dtype = jnp.bfloat16
+    matmul_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Bottleneck(self.planes, self.stride, True, self.dtype,
-                       name="block0")(x)
+                       self.matmul_conv, name="block0")(x)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, False, self.dtype,
-                           name=f"block{i}")(x)
+                           self.matmul_conv, name=f"block{i}")(x)
         return x
 
 
@@ -100,6 +152,9 @@ class ResNetC4(nn.Module):
     7x7x2048). Matches reference head/tail split (resnet_v1.py:255-267)."""
     depth: str = "resnet101"
     dtype: jnp.dtype = jnp.bfloat16
+    # run layer4 (the per-ROI tail on tiny 7x7 crops) with the explicit
+    # matmul conv impl — same params, MXU-friendly lowering (see MatmulConv)
+    tail_matmul: bool = False
 
     def setup(self):
         b = STAGE_BLOCKS[self.depth]
@@ -111,7 +166,8 @@ class ResNetC4(nn.Module):
         self.layer2 = _Stage(128, b[1], 2, self.dtype, name="layer2")
         self.layer3 = _Stage(256, b[2], 2, self.dtype, name="layer3")
         # layer4 stride 1 (reference resnet_v1.py:129 — C4 architecture)
-        self.layer4 = _Stage(512, b[3], 1, self.dtype, name="layer4")
+        self.layer4 = _Stage(512, b[3], 1, self.dtype,
+                             matmul_conv=self.tail_matmul, name="layer4")
 
     def head(self, x):
         """x: (B, H, W, 3) float32 BGR-mean-subtracted -> (B, H/16, W/16, 1024)."""
