@@ -29,15 +29,6 @@ from lang2seg_tpu.utils.metrics import (SegEvalAccumulator, nearest_resize,
                                         recover_masks)
 
 
-def _np_clip_boxes(boxes, ih, iw):
-    boxes = np.array(boxes, copy=True)
-    boxes[:, 0::4] = np.clip(boxes[:, 0::4], 0, iw - 1)
-    boxes[:, 1::4] = np.clip(boxes[:, 1::4], 0, ih - 1)
-    boxes[:, 2::4] = np.clip(boxes[:, 2::4], 0, iw - 1)
-    boxes[:, 3::4] = np.clip(boxes[:, 3::4], 0, ih - 1)
-    return boxes
-
-
 class Evaluator:
     def __init__(self, model: Lang2Seg, cfg: Config):
         self.model = model
@@ -49,6 +40,30 @@ class Evaluator:
             lambda p, conv, boxes, labels: model.apply(
                 {"params": p}, conv, boxes, labels,
                 method=Lang2Seg.predict_masks))
+        self._select = jax.jit(self._select_fn)
+
+    @staticmethod
+    def _select_fn(rois, deltas, scores, valid, scale, ih, iw):
+        """Device-side batched argmax protocol over all S sentences at
+        once (test.py:256-259): decode per-class boxes in original-image
+        coords, mask padded rois, global argmax over scores[:, 1:], select
+        that class's box."""
+        s, r, _ = rois.shape
+        num_classes = scores.shape[-1]
+        boxes_orig = rois / scale
+        pred = jax.vmap(decode_boxes)(boxes_orig, deltas)   # (S, R, 4K)
+        pk = pred.reshape(s, r, num_classes, 4)
+        pk = jnp.stack([jnp.clip(pk[..., 0], 0, iw - 1.0),
+                        jnp.clip(pk[..., 1], 0, ih - 1.0),
+                        jnp.clip(pk[..., 2], 0, iw - 1.0),
+                        jnp.clip(pk[..., 3], 0, ih - 1.0)], axis=-1)
+        sc = jnp.where(valid[..., None], scores, -1.0)      # (S, R, K)
+        flat = sc[:, :, 1:].reshape(s, -1)
+        idx = jnp.argmax(flat, axis=1)
+        r_idx = idx // (num_classes - 1)
+        cls = idx % (num_classes - 1) + 1
+        sel = pk[jnp.arange(s), r_idx, cls]                 # (S, 4)
+        return sel, cls.astype(jnp.int32)
 
     def eval_image(self, params, batch: Dict[str, np.ndarray],
                    acc: SegEvalAccumulator,
@@ -63,33 +78,23 @@ class Evaluator:
             "im_hw": jnp.asarray(batch["im_hw"]),
             "labels": jnp.asarray(batch["labels"]),
         })
-        rois = np.asarray(out["rois"])          # (S, R, 4) scaled coords
-        valid = np.asarray(out["roi_valid"])    # (S, R)
-        scores = np.asarray(out["cls_prob"])    # (S, R, 81)
-        deltas = np.asarray(out["bbox_pred"])   # (S, R, 324)
-
-        s = rois.shape[0]
+        s = out["rois"].shape[0]
         ih = int(round(float(batch["im_hw"][0][0]) / scale))
         iw = int(round(float(batch["im_hw"][0][1]) / scale))
 
-        # decode all boxes in original coords (im_detect semantics)
-        sel_boxes = np.zeros((s, 4), np.float32)
-        sel_classes = np.zeros((s,), np.int32)
+        # one jitted dispatch selects boxes for ALL sentences (the
+        # reference decodes and argmaxes per sentence on host,
+        # test.py:245-259)
+        sel, cls = self._select(
+            out["rois"], out["bbox_pred"], out["cls_prob"],
+            out["roi_valid"], jnp.float32(scale),
+            jnp.float32(ih), jnp.float32(iw))
+        sel_boxes = np.asarray(sel)
+        sel_classes = np.asarray(cls)
+
         for i in range(s):
             if sent_valid is not None and not sent_valid[i]:
                 continue
-            boxes_orig = rois[i] / scale
-            pred = np.asarray(decode_boxes(jnp.asarray(boxes_orig),
-                                           jnp.asarray(deltas[i])))
-            pred = _np_clip_boxes(pred, ih, iw)
-            sc = scores[i].copy()
-            sc[~valid[i]] = -1.0                # padded rois can't win
-            flat = sc[:, 1:]
-            r_idx, c_idx = np.unravel_index(np.argmax(flat), flat.shape)
-            cls = c_idx + 1
-            sel_boxes[i] = pred[r_idx, cls * 4:(cls + 1) * 4]
-            sel_classes[i] = cls
-
             gt_box = np.asarray(batch["gt_boxes"][i, :4]) / scale
             acc.add_detection(sel_boxes[i], gt_box)
 
