@@ -52,15 +52,19 @@ class ComprehensionEvaluator:
 
     def eval_image(self, params, batch: Dict, cand_boxes: np.ndarray,
                    gt_boxes: np.ndarray,
-                   sent_valid: Optional[np.ndarray] = None) -> Dict:
+                   sent_valid: Optional[np.ndarray] = None,
+                   cand_valid: Optional[np.ndarray] = None) -> Dict:
         """cand_boxes: (B, 4) shared candidates (GT or detected boxes),
-        scaled coords; gt_boxes: (S, 4) per-sentence GT."""
+        scaled coords; gt_boxes: (S, 4) per-sentence GT; cand_valid: (B,)
+        masks padded candidate slots."""
         e = batch["labels"].shape[0]
         boxes = jnp.broadcast_to(jnp.asarray(cand_boxes)[None],
                                  (e,) + cand_boxes.shape)
-        scores = np.asarray(self._score(params, {
+        scores = np.array(self._score(params, {
             "images": jnp.asarray(batch["images"]),
             "labels": jnp.asarray(batch["labels"])}, boxes))
+        if cand_valid is not None:
+            scores[:, ~np.asarray(cand_valid)] = -1.0
         hits, n = 0, 0
         for i in range(e):
             if sent_valid is not None and not sent_valid[i]:
@@ -83,19 +87,67 @@ class ComprehensionEvaluator:
             n += r["n"]
         return {"comprehension_acc": hits / max(n, 1), "n": n}
 
+    def eval_split_dets(self, params, batches: Iterable[Dict],
+                        dets: "DetsLoader", max_cands: int = 32,
+                        min_score: float = 0.0) -> Dict:
+        """Comprehension over DETECTED boxes (reference eval_dets_utils
+        fed by dets_loader.py): candidates come from a dets file keyed by
+        the batch's image_id, scaled into canvas coords and padded to
+        max_cands (fixed shapes -> one compile)."""
+        hits = n = skipped = 0
+        for b in batches:
+            cands = dets.candidates(int(b["image_id"]),
+                                    scale=float(b["im_scale"]),
+                                    min_score=min_score)
+            if len(cands) == 0:
+                skipped += int(np.sum(b.get(
+                    "sent_valid", np.ones(b["labels"].shape[0], bool))))
+                continue
+            cands = cands[:max_cands]
+            pad = np.zeros((max_cands, 4), np.float32)
+            pad[:len(cands)] = cands
+            valid = np.arange(max_cands) < len(cands)
+            r = self.eval_image(params, b, pad, b["gt_boxes"][:, :4],
+                                b.get("sent_valid"), cand_valid=valid)
+            hits += r["hits"]
+            n += r["n"]
+        return {"comprehension_acc": hits / max(n, 1), "n": n,
+                "skipped_no_dets": skipped}
+
 
 class DetsLoader:
-    """Loader over precomputed detections (reference dets_loader.py:33):
-    a json of {image_id: [{box: xyxy, category_id, score}]} provides the
-    candidate boxes instead of GT."""
+    """Loader over precomputed detections (reference dets_loader.py:33).
+
+    Accepts either format:
+      * reference flat format: {"dets": [{det_id, box [x y w h],
+        image_id, category_id, category_name, score}]} (dets_loader.py:12-14)
+      * image-keyed: {image_id: [{box: [x1 y1 x2 y2], category_id, score}]}
+    Candidates are returned xyxy in original-image coords, scaled by
+    `scale` (the loader's im_scale) into canvas coords.
+    """
 
     def __init__(self, dets_json_path: str):
         import json
         with open(dets_json_path) as f:
-            self.dets = {int(k): v for k, v in json.load(f).items()}
+            obj = json.load(f)
+        self.dets: Dict[int, List[Dict]] = {}
+        if isinstance(obj, dict) and "dets" in obj:
+            self.Dets = {d["det_id"]: d for d in obj["dets"]}
+            for d in obj["dets"]:
+                x, y, w, h = d["box"]
+                rec = dict(d)
+                rec["box"] = [x, y, x + w - 1, y + h - 1]   # xywh -> xyxy
+                self.dets.setdefault(int(d["image_id"]), []).append(rec)
+        else:
+            self.dets = {int(k): v for k, v in obj.items()}
+            self.Dets = {d.get("det_id", i): d
+                         for i, ds in enumerate(self.dets.values())
+                         for d in ds}
 
-    def candidates(self, image_id: int, scale: float = 1.0) -> np.ndarray:
-        ds = self.dets.get(image_id, [])
+    def candidates(self, image_id: int, scale: float = 1.0,
+                   min_score: float = 0.0) -> np.ndarray:
+        ds = [d for d in self.dets.get(image_id, [])
+              if d.get("score", 1.0) >= min_score]
         if not ds:
             return np.zeros((0, 4), np.float32)
         return np.asarray([d["box"] for d in ds], np.float32) * scale

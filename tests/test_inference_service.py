@@ -50,3 +50,68 @@ def test_comprehension_eval(setup):
                       {"images": b["images"], "labels": b["labels"]},
                       cands, b["gt_boxes"][:, :4])
     assert r["n"] == 2 and 0 <= r["hits"] <= 2
+
+
+def test_dets_loader_both_formats(tmp_path):
+    import json
+    from lang2seg_tpu.engine.comprehension import DetsLoader
+    # reference flat format: xywh boxes (dets_loader.py:12-14)
+    flat = {"dets": [
+        {"det_id": 1, "box": [10, 20, 30, 40], "image_id": 100,
+         "category_id": 1, "category_name": "person", "score": 0.9},
+        {"det_id": 2, "box": [5, 5, 10, 10], "image_id": 100,
+         "category_id": 18, "category_name": "dog", "score": 0.2},
+        {"det_id": 3, "box": [0, 0, 50, 60], "image_id": 101,
+         "category_id": 1, "category_name": "person", "score": 0.7}]}
+    p1 = tmp_path / "dets_flat.json"
+    p1.write_text(json.dumps(flat))
+    dl = DetsLoader(str(p1))
+    c = dl.candidates(100)
+    np.testing.assert_allclose(c, [[10, 20, 39, 59], [5, 5, 14, 14]])
+    # score filter + scale
+    c = dl.candidates(100, scale=2.0, min_score=0.5)
+    np.testing.assert_allclose(c, [[20, 40, 78, 118]])
+    assert dl.candidates(999).shape == (0, 4)
+    assert dl.Dets[3]["image_id"] == 101
+
+    # image-keyed xyxy format
+    keyed = {"100": [{"box": [1, 2, 3, 4], "score": 1.0}]}
+    p2 = tmp_path / "dets_keyed.json"
+    p2.write_text(json.dumps(keyed))
+    dl2 = DetsLoader(str(p2))
+    np.testing.assert_allclose(dl2.candidates(100), [[1, 2, 3, 4]])
+
+
+def test_comprehension_eval_over_dets(setup, tmp_path):
+    """eval_split_dets: candidates from a dets file, padded to fixed
+    shape; an image with no dets is skipped and counted."""
+    import json
+    from lang2seg_tpu.engine.comprehension import DetsLoader
+    cfg, model, state = setup
+    ev = ComprehensionEvaluator(model, cfg)
+    b = synthetic_batch(cfg, 1, 2, seed=11)
+    gt = b["gt_boxes"][:, :4]
+    dets = {"dets": [
+        {"det_id": 1, "box": [float(gt[0, 0]), float(gt[0, 1]),
+                              float(gt[0, 2] - gt[0, 0] + 1),
+                              float(gt[0, 3] - gt[0, 1] + 1)],
+         "image_id": 7, "category_id": 1, "category_name": "person",
+         "score": 0.9},
+        {"det_id": 2, "box": [2.0, 2.0, 20.0, 20.0], "image_id": 7,
+         "category_id": 1, "category_name": "person", "score": 0.5}]}
+    p = tmp_path / "dets.json"
+    p.write_text(json.dumps(dets))
+    dl = DetsLoader(str(p))
+
+    batches = [
+        {"images": b["images"], "labels": b["labels"], "gt_boxes":
+         b["gt_boxes"], "image_id": 7, "im_scale": 1.0,
+         "sent_valid": np.ones(2, bool)},
+        {"images": b["images"], "labels": b["labels"], "gt_boxes":
+         b["gt_boxes"], "image_id": 999, "im_scale": 1.0,
+         "sent_valid": np.ones(2, bool)},   # no dets -> skipped
+    ]
+    r = ev.eval_split_dets(state.params, batches, dl, max_cands=8)
+    assert r["n"] == 2
+    assert r["skipped_no_dets"] == 2
+    assert 0.0 <= r["comprehension_acc"] <= 1.0
