@@ -7,11 +7,18 @@ sentence (expression) per iteration on a single GPU
 BASELINE.md sets the target at >10x that per chip. vs_baseline is computed
 against 2.5 expr/s.
 
-Runs the jitted train step (ResNet-101, 7-filter + response, 640x1024
-canvas, 8 expressions over 2 unique images per step) on synthetic data on
-whatever accelerator JAX finds (the driver runs it on one real TPU chip).
+Default mode runs the jitted train step (ResNet-101, 7-filter + response,
+640x1024 canvas, 8 expressions over 2 unique images per step) on synthetic
+data on whatever accelerator JAX finds (the driver runs it on one real TPU
+chip) and prints ONE JSON line.
+
+`--eval` instead measures end-to-end evaluation throughput (reference
+metric `model time (per sent)`, eval_easy_utils.py:192-193): the full
+Evaluator path per image — batched test_forward, device-side box
+selection, mask branch, host paste-back + IoU accumulation.
 """
 
+import argparse
 import json
 import os
 import time
@@ -26,18 +33,29 @@ import jax.numpy as jnp
 REFERENCE_EXPR_PER_SEC = 2.5
 
 
-def main():
+def flagship_config():
     from lang2seg_tpu.config import Config
-    from lang2seg_tpu.engine.train_state import (create_train_state,
-                                                 make_train_step)
-    from lang2seg_tpu.data.synthetic import synthetic_batch
-
     cfg = Config()
     cfg.model.backbone = "resnet101"
     cfg.model.num_filters = 7
     cfg.model.response_gate = "sigmoid"
     cfg.model.use_response_loss = True
     cfg.model.normalize_response = True
+    # kernel paths selected by measurement (experiments/ablate.py, r2):
+    # the XLA conv tail is fastest (tail_matmul 33.4, tail_mosaic 27.0 vs
+    # baseline 48.4 expr/s — layer4 was already ~85% MXU); the Pallas
+    # conditioning kernel is neutral (47.5) because conditioning is ~2ms
+    # of the step, so it stays opt-in. The ROI-crop matmul formulation
+    # (ops/roi_align.py crop_and_resize) is the default implementation.
+    return cfg
+
+
+def bench_train():
+    from lang2seg_tpu.engine.train_state import (create_train_state,
+                                                 make_train_step)
+    from lang2seg_tpu.data.synthetic import synthetic_batch
+
+    cfg = flagship_config()
     num_images, num_expr = 2, 8
 
     model, tx, state = create_train_state(cfg)
@@ -67,6 +85,60 @@ def main():
         "unit": "expr/s",
         "vs_baseline": round(expr_per_sec / REFERENCE_EXPR_PER_SEC, 3),
     }))
+
+
+def bench_eval():
+    """Full eval path: S=8 sentences per image, several distinct images.
+    Baseline: the reference logs ~0.2-0.4 s model time per sentence on its
+    GPU class (one full forward per sentence); we compare against the same
+    2.5 expr/s class estimate."""
+    import numpy as np
+    from lang2seg_tpu.engine.train_state import create_model, init_params
+    from lang2seg_tpu.engine.evaluator import Evaluator
+    from lang2seg_tpu.data.synthetic import synthetic_batch
+    from lang2seg_tpu.utils.metrics import SegEvalAccumulator
+
+    cfg = flagship_config()
+    num_sents = 8
+    model = create_model(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    ev = Evaluator(model, cfg)
+
+    def make_eval_batch(seed):
+        b = synthetic_batch(cfg, 1, num_sents, seed=seed)
+        b["im_scale"] = np.float32(1.2)
+        return b
+
+    batches = [make_eval_batch(s) for s in range(4)]
+    # warmup/compile
+    ev.eval_image(params, batches[0], SegEvalAccumulator())
+
+    acc = SegEvalAccumulator()
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for b in batches:
+            ev.eval_image(params, b, acc)
+    dt = time.perf_counter() - t0
+    n = iters * len(batches) * num_sents
+    expr_per_sec = n / dt
+    print(json.dumps({
+        "metric": "eval_expressions_per_sec_per_chip",
+        "value": round(expr_per_sec, 3),
+        "unit": "expr/s",
+        "vs_baseline": round(expr_per_sec / REFERENCE_EXPR_PER_SEC, 3),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval", action="store_true",
+                    help="measure evaluation throughput instead of training")
+    args = ap.parse_args()
+    if args.eval:
+        bench_eval()
+    else:
+        bench_train()
 
 
 if __name__ == "__main__":

@@ -158,8 +158,15 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"         # backbone conv compute dtype
     param_dtype: str = "float32"
     # ROI-tail (layer4 on 7x7 crops) as explicit MXU matmuls — same math
-    # and params as the conv lowering, faster tiling (models/resnet.py)
+    # and params as the conv lowering. Measured SLOWER than the XLA conv
+    # on-chip (experiments/ablate.py r2: 33.4 vs 48.4 expr/s — the 9
+    # shifted window reads cost more HBM than the MXU tiling saves); kept
+    # as a documented alternative, off by default.
     tail_matmul: bool = False
+    # ROI-tail as one large mosaic image (8-px pitch, zero gaps re-zeroed
+    # before each 3x3 conv — math exactly equals per-crop convs; see
+    # models/resnet.py ResNetC4.tail_mosaic). The measured-fastest tail.
+    tail_mosaic: bool = False
 
 
 @dataclass

@@ -17,7 +17,8 @@ import optax
 from flax import struct
 
 from lang2seg_tpu.config import Config
-from lang2seg_tpu.engine.optimizer import build_optimizer
+from lang2seg_tpu.engine.optimizer import (build_optimizer, merge_params,
+                                           partition_params)
 from lang2seg_tpu.models.network import Lang2Seg
 
 
@@ -68,8 +69,11 @@ def create_train_state(cfg: Config, rng=None):
     init_rng, state_rng = jax.random.split(jax.random.PRNGKey(cfg.seed)
                                            if rng is None else rng)
     params = init_params(model, cfg, init_rng)
-    tx = build_optimizer(params, cfg)
-    opt_state = tx.init(params)
+    # optimizer state/updates live on the TRAINABLE subtree only (frozen
+    # params are structurally excluded, like torch requires_grad=False)
+    trainable, _ = partition_params(params, cfg)
+    tx = build_optimizer(trainable, cfg)
+    opt_state = tx.init(trainable)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state, rng=state_rng)
     return model, tx, state
@@ -84,17 +88,21 @@ def make_train_step(model: Lang2Seg, cfg: Config,
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+        trainable, frozen = partition_params(state.params, cfg)
 
-        def loss_fn(params):
+        def loss_fn(tr):
             losses = model.apply(
-                {"params": params}, batch,
+                {"params": merge_params(tr, frozen)}, batch,
                 rngs={"dropout": d_rng, "sampling": s_rng},
                 method=Lang2Seg.train_forward)
             return losses["total_loss"], losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        # differentiate wrt the trainable subtree only: the backward
+        # through frozen-only paths (conv1/layer1, all BN) is never built
+        grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
+        updates, new_opt = tx.update(grads, state.opt_state, trainable)
+        new_params = merge_params(optax.apply_updates(trainable, updates),
+                                  frozen)
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=new_opt, rng=rng), losses
 

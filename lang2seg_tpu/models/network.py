@@ -73,7 +73,8 @@ class Lang2Seg(nn.Module):
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
         if m.backbone.startswith("resnet"):
             self.backbone = ResNetC4(depth=m.backbone, dtype=dtype,
-                                     tail_matmul=m.tail_matmul)
+                                     tail_matmul=m.tail_matmul,
+                                     tail_mosaic=m.tail_mosaic)
         elif m.backbone == "mobilenet_v1":
             from lang2seg_tpu.models.mobilenet import MobileNetV1
             self.backbone = MobileNetV1(dtype=dtype)

@@ -1,16 +1,27 @@
 """Fixed-shape, jit-able non-maximum suppression.
 
 TPU-native re-design of the reference's CUDA bitmask NMS
-(`lib/nms/src/cuda/nms_kernel.cu:16-87`): same blockwise structure — boxes
-are pre-sorted by score, processed in tiles, each tile suppressed against
-all previously-kept boxes — but expressed as dense masked linear algebra
-instead of per-thread bitmasks, so XLA maps it onto the VPU. Within a tile
-the sequential greedy recurrence is resolved by fixpoint iteration (the
-suppression chain within 128 score-sorted boxes is short in practice, and
-the fixpoint is exact: it converges to the sequential-NMS result).
+(`lib/nms/src/cuda/nms_kernel.cu:16-87`): boxes are pre-sorted by score
+and processed in tiles, as in the CUDA kernel, but suppression state is
+dense masked linear algebra on the VPU instead of per-thread bitmasks.
 
-The result is bit-identical to classic greedy NMS (reference
-`lib/nms/src/nms.c:4-68` oracle) for boxes with distinct scores.
+Two departures make it fast at TPU shapes (measured 3-4x vs the naive
+blockwise form, experiments/profile_components.py):
+
+  * **Frontier buffer.** A tile only needs IoU against boxes already
+    KEPT, not against all N boxes. Kept boxes (at most `max_out` + one
+    tile) are compacted into a small score-ordered buffer, so each tile
+    computes a (B, |buffer|) IoU instead of (B, N) — for the training
+    proposal path that is (128, 2176) instead of (128, 12032).
+  * **Early exit.** Greedy NMS keeps boxes in score order, and
+    suppression only ever REMOVES later boxes, so once `max_out`
+    survivors exist no later tile can change the result; the tile loop
+    is a while_loop that stops there (typically well before N).
+
+Within a tile the sequential greedy recurrence is resolved by fixpoint
+iteration (suppression chains within 128 score-sorted boxes are short,
+and the fixpoint is exact). The result is bit-identical to classic greedy
+NMS (reference `lib/nms/src/nms.c:4-68` oracle) for distinct scores.
 """
 
 from __future__ import annotations
@@ -48,37 +59,44 @@ def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
 
     Returns:
       keep_idx:  (max_out,) int32 indices into `boxes`, in score order,
-                 padded with the last kept index (or 0) when fewer survive.
+                 padded with 0 when fewer survive.
       keep_mask: (max_out,) bool validity of each returned slot.
     """
-    n_orig = boxes.shape[0]
-    boxes = _pad_to_multiple(boxes, _BLOCK)
-    valid = _pad_to_multiple(valid, _BLOCK)
-    n = boxes.shape[0]
+    boxes_p = _pad_to_multiple(boxes, _BLOCK)
+    valid_p = _pad_to_multiple(valid, _BLOCK)
+    n = boxes_p.shape[0]
     num_blocks = n // _BLOCK
+    # kept-box frontier: max_out rounded up to a tile, plus one tile of
+    # slack (a tile entered with count == max_out - 1 can append B boxes)
+    bufsize = (-(-max_out // _BLOCK) + 1) * _BLOCK
 
-    col_idx = jnp.arange(n)
+    r = jnp.arange(_BLOCK)
+    strict_lower = r[:, None] < r[None, :]             # k < j suppressor mask
+    buf_slots = jnp.arange(bufsize)
 
-    def block_body(i, keep):
+    def cond(st):
+        i, cnt, _, _ = st
+        return (i < num_blocks) & (cnt < max_out)
+
+    def body(st):
+        i, cnt, buf, buf_idx = st
         start = i * _BLOCK
-        rows = jax.lax.dynamic_slice_in_dim(boxes, start, _BLOCK, axis=0)
-        row_valid = jax.lax.dynamic_slice_in_dim(valid, start, _BLOCK, axis=0)
-        iou = box_iou(rows, boxes)  # (B, N)
+        rows = jax.lax.dynamic_slice_in_dim(boxes_p, start, _BLOCK, axis=0)
+        row_valid = jax.lax.dynamic_slice_in_dim(valid_p, start, _BLOCK,
+                                                 axis=0)
 
-        # suppression by earlier kept boxes (global index < start)
-        earlier = (col_idx < start)[None, :]
-        sup_earlier = jnp.any((iou > iou_thresh) & earlier & keep[None, :],
-                              axis=1)
+        # suppression by earlier kept boxes (frontier buffer)
+        kept_valid = (buf_slots < cnt)[None, :]        # (1, bufsize)
+        iou_prev = box_iou(rows, buf)                  # (B, bufsize)
+        sup_earlier = jnp.any((iou_prev > iou_thresh) & kept_valid, axis=1)
 
         # intra-block greedy recurrence, solved by fixpoint
-        iou_blk = jax.lax.dynamic_slice_in_dim(iou, start, _BLOCK, axis=1)
-        r = jnp.arange(_BLOCK)
-        strict_lower = r[:, None] < r[None, :]           # k < j suppressor mask
-        sup_mat = (iou_blk > iou_thresh) & strict_lower  # (B, B) [k, j]
+        iou_blk = box_iou(rows, rows)                  # (B, B)
+        sup_mat = (iou_blk > iou_thresh) & strict_lower
         init = row_valid & ~sup_earlier
 
         def fix_cond(state):
-            cur, changed = state
+            _, changed = state
             return changed
 
         def fix_body(state):
@@ -90,17 +108,19 @@ def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
         keep_blk, _ = jax.lax.while_loop(
             fix_cond, fix_body, (init, jnp.array(True)))
 
-        return jax.lax.dynamic_update_slice_in_dim(keep, keep_blk, start,
-                                                   axis=0)
+        # append kept rows to the frontier in score order; non-kept rows
+        # target an out-of-range slot and are dropped by the scatter
+        pos = cnt + jnp.cumsum(keep_blk.astype(jnp.int32)) - 1
+        pos = jnp.where(keep_blk, pos, bufsize)
+        buf = buf.at[pos].set(rows, mode="drop")
+        buf_idx = buf_idx.at[pos].set(start + r, mode="drop")
+        return i + 1, cnt + jnp.sum(keep_blk.astype(jnp.int32)), buf, buf_idx
 
-    keep = jax.lax.fori_loop(0, num_blocks, block_body,
-                             jnp.zeros((n,), dtype=bool))
-    keep = keep[:n_orig] & valid[:n_orig]
+    state = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.zeros((bufsize, 4), boxes.dtype),
+             jnp.zeros((bufsize,), jnp.int32))
+    _, cnt, _, buf_idx = jax.lax.while_loop(cond, body, state)
 
-    # kept boxes in score order = original order (input is score-sorted)
-    prio = jnp.where(keep, jnp.arange(n_orig), n_orig + jnp.arange(n_orig))
-    order = jnp.argsort(prio)
-    keep_idx = order[:max_out].astype(jnp.int32)
-    keep_mask = keep[keep_idx]
-    keep_idx = jnp.where(keep_mask, keep_idx, 0)
+    keep_mask = jnp.arange(max_out) < jnp.minimum(cnt, max_out)
+    keep_idx = jnp.where(keep_mask, buf_idx[:max_out], 0)
     return keep_idx, keep_mask

@@ -50,26 +50,62 @@ def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
             + tap(y0i + 1, x0i + 1, wy1, wx1))
 
 
-def crop_and_resize(feat: jnp.ndarray, rois: jnp.ndarray,
-                    out_size: int, spatial_scale: float = 1.0) -> jnp.ndarray:
-    """Bilinear-crop ROIs from a feature map.
-
-    feat: (H, W, C); rois: (R, 4) [x1 y1 x2 y2] in image coords
-    (multiplied by spatial_scale to get feature coords).
-    Returns (R, S, S, C).
-    """
+def _sample_coords(rois: jnp.ndarray, out_size: int, spatial_scale: float):
+    """(R, S) y and x sample coordinates: linspace over the scaled ROI
+    (torch affine_grid/grid_sample align_corners semantics, the reference
+    _crop_pool_layer, nets/network.py:104-146)."""
     s = out_size
     x1 = rois[:, 0] * spatial_scale
     y1 = rois[:, 1] * spatial_scale
     x2 = rois[:, 2] * spatial_scale
     y2 = rois[:, 3] * spatial_scale
-
     t = jnp.arange(s, dtype=jnp.float32) / (s - 1)         # (S,) in [0, 1]
     ys = y1[:, None] + (y2 - y1)[:, None] * t[None, :]     # (R, S)
     xs = x1[:, None] + (x2 - x1)[:, None] * t[None, :]     # (R, S)
+    return ys, xs
+
+
+def crop_and_resize_gather(feat: jnp.ndarray, rois: jnp.ndarray,
+                           out_size: int, spatial_scale: float = 1.0
+                           ) -> jnp.ndarray:
+    """Bilinear crop via direct 4-tap gather (the straightforward
+    formulation; kept as the oracle for the matmul path below — XLA
+    gathers and their scatter-add backward are slow on TPU)."""
+    s = out_size
+    ys, xs = _sample_coords(rois, s, spatial_scale)
     ys = jnp.broadcast_to(ys[:, :, None], (rois.shape[0], s, s))
     xs = jnp.broadcast_to(xs[:, None, :], (rois.shape[0], s, s))
     return _bilinear_gather(feat, ys, xs)
+
+
+def crop_and_resize(feat: jnp.ndarray, rois: jnp.ndarray,
+                    out_size: int, spatial_scale: float = 1.0) -> jnp.ndarray:
+    """Bilinear-crop ROIs from a feature map — MXU formulation.
+
+    feat: (H, W, C); rois: (R, 4) [x1 y1 x2 y2] in image coords
+    (multiplied by spatial_scale to get feature coords).
+    Returns (R, S, S, C).
+
+    Bilinear interpolation is separable, so the crop is two small
+    matmuls: out[r,i,j,c] = sum_y wy[r,i,y] * sum_x wx[r,j,x] * feat[y,x,c]
+    with hat-function weights w = max(0, 1 - |coord - index|). Out-of-map
+    taps get zero weight automatically (= grid_sample zero padding).
+    On TPU this runs ~3x faster than the gather form fwd and turns the
+    backward's scatter-add into transposed matmuls
+    (experiments/profile_components.py)."""
+    s = out_size
+    h, w = feat.shape[0], feat.shape[1]
+    r = rois.shape[0]
+    ys, xs = _sample_coords(rois, s, spatial_scale)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ys[:, :, None] - jnp.arange(h, dtype=jnp.float32)))
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(xs[:, :, None] - jnp.arange(w, dtype=jnp.float32)))
+    wy = wy.astype(feat.dtype)                             # (R, S, H)
+    wx = wx.astype(feat.dtype)                             # (R, S, W)
+    # contract x first (W is usually the larger extent), then y per-ROI
+    tmp = jnp.einsum("yxc,rjx->ryjc", feat, wx)            # (R, H, S, C)
+    return jnp.einsum("riy,ryjc->rijc", wy, tmp)           # (R, S, S, C)
 
 
 def roi_crop_pool(feat: jnp.ndarray, rois: jnp.ndarray, pooling_size: int,

@@ -55,6 +55,8 @@ def shard_batch(batch: Dict, num_shards: int) -> Dict:
 def make_sharded_train_step(model: Lang2Seg, cfg: Config,
                             tx: optax.GradientTransformation, mesh: Mesh,
                             donate: bool = False):
+    from lang2seg_tpu.engine.optimizer import merge_params, partition_params
+
     def _step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, d_rng, s_rng = jax.random.split(state.rng, 3)
         shard_id = jax.lax.axis_index("data")
@@ -62,19 +64,23 @@ def make_sharded_train_step(model: Lang2Seg, cfg: Config,
         if "expr_uid" not in batch:
             # no stable example ids -> decorrelate sampling by shard
             s_rng = jax.random.fold_in(s_rng, shard_id)
+        trainable, frozen = partition_params(state.params, cfg)
 
-        def loss_fn(params):
+        def loss_fn(tr):
             losses = model.apply(
-                {"params": params}, batch,
+                {"params": merge_params(tr, frozen)}, batch,
                 rngs={"dropout": d_rng, "sampling": s_rng},
                 method=Lang2Seg.train_forward)
             return losses["total_loss"], losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        # trainable subtree only: frozen params get no backward and no
+        # gradient all-reduce traffic
+        grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
         grads = jax.lax.pmean(grads, "data")
         losses = jax.lax.pmean(losses, "data")
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        updates, new_opt = tx.update(grads, state.opt_state, trainable)
+        new_params = merge_params(optax.apply_updates(trainable, updates),
+                                  frozen)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                opt_state=new_opt, rng=rng)
         return new_state, losses

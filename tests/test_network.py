@@ -151,6 +151,31 @@ def test_tail_matmul_parity(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_tail_mosaic_parity(rng):
+    """Mosaic tail (all crops packed into one large image with re-zeroed
+    1-px gaps) == per-crop layer4 with identical params. BN affines are
+    jittered so gap pixels would carry nonzero offsets — a missing gap
+    re-zero before any 3x3 conv leaks between crops and fails this."""
+    from lang2seg_tpu.models.resnet import ResNetC4
+    m1 = ResNetC4(depth="resnet26", dtype=jnp.float32)
+    m2 = ResNetC4(depth="resnet26", dtype=jnp.float32, tail_mosaic=True)
+    img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    params = m1.init(jax.random.PRNGKey(0), img)["params"]
+    # jitter every param (BN means/biases included) away from the
+    # zero-offset init that would mask gap leakage
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaves = [l + 0.05 * jnp.asarray(rng.randn(*l.shape), l.dtype)
+              for l in leaves]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    # 18 crops -> 5x4 grid with 2 padded zero cells (R > 16 engages mosaic)
+    crops = jnp.asarray(rng.randn(18, 7, 7, 1024).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        a = m1.apply({"params": params}, crops, method=ResNetC4.tail)
+        b = m2.apply({"params": params}, crops, method=ResNetC4.tail)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pooling_mode_pool_variant():
     """POOLING_MODE='pool' end-to-end: ROI max-pool feeds the heads and
     the custom-vjp backward runs under grad (model/config.py:273)."""

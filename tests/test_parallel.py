@@ -80,14 +80,16 @@ def test_sharded_step_matches_shardwise_oracle():
     s_new, losses_sh = sharded(state, batch)
 
     # ---- oracle: same math, one shard at a time on one device ----
+    from lang2seg_tpu.engine.optimizer import merge_params, partition_params
     rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+    trainable, frozen = partition_params(state.params, cfg)
 
     def shard_slice(v, s):
         per = v.shape[0] // shards
         return v[s * per:(s + 1) * per]
 
-    def loss_fn(params, shard, d_key):
-        losses = model.apply({"params": params}, shard,
+    def loss_fn(tr, shard, d_key):
+        losses = model.apply({"params": merge_params(tr, frozen)}, shard,
                              rngs={"dropout": d_key, "sampling": s_rng},
                              method=Lang2Seg.train_forward)
         return losses["total_loss"], losses
@@ -97,7 +99,7 @@ def test_sharded_step_matches_shardwise_oracle():
         shard = {k: shard_slice(v, s) for k, v in batch.items()}
         d_key = jax.random.fold_in(d_rng, s)
         grads, losses = jax.jit(jax.grad(loss_fn, has_aux=True))(
-            state.params, shard, d_key)
+            trainable, shard, d_key)
         if grads_acc is None:
             grads_acc, losses_acc = grads, losses
         else:
@@ -105,8 +107,9 @@ def test_sharded_step_matches_shardwise_oracle():
             losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses)
     grads_mean = jax.tree_util.tree_map(lambda g: g / shards, grads_acc)
     losses_mean = jax.tree_util.tree_map(lambda l: l / shards, losses_acc)
-    updates, _ = tx.update(grads_mean, state.opt_state, state.params)
-    params_ref = optax.apply_updates(state.params, updates)
+    updates, _ = tx.update(grads_mean, state.opt_state, trainable)
+    params_ref = merge_params(optax.apply_updates(trainable, updates),
+                              frozen)
 
     for k in losses_sh:
         np.testing.assert_allclose(

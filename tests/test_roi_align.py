@@ -52,6 +52,30 @@ def test_crop_out_of_bounds_zero_padded(rng):
     assert out[0, 3, 3, 0] > 0.0    # center inside
 
 
+def test_crop_matmul_equals_gather_incl_grad(rng):
+    """The MXU (separable-matmul) crop must equal the 4-tap gather form in
+    value AND gradient — including ROIs hanging off the map where the
+    gather's zero-padding must match the matmul's zero weights."""
+    import jax
+    from lang2seg_tpu.ops.roi_align import crop_and_resize_gather
+    feat = jnp.asarray(rng.randn(20, 30, 5).astype(np.float32))
+    rois = jnp.asarray(np.array([[32.0, 16.0, 200.0, 150.0],
+                                 [-80.0, -40.0, 480.0, 320.0],
+                                 [-200.0, -200.0, -50.0, -50.0],  # fully out
+                                 [100.0, 50.0, 120.0, 80.0]], np.float32))
+    a = crop_and_resize(feat, rois, 7, 1.0 / 16.0)
+    b = crop_and_resize_gather(feat, rois, 7, 1.0 / 16.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda f: jnp.sum(jnp.tanh(fn(f, rois, 7, 1.0 / 16.0)))
+    ga = jax.grad(loss(crop_and_resize))(feat)
+    gb = jax.grad(loss(crop_and_resize_gather))(feat)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_max_pool_variant(rng):
     feat = rng.randn(16, 16, 2).astype(np.float32)
     rois = np.array([[16.0, 16.0, 128.0, 128.0]], np.float32)

@@ -181,3 +181,45 @@ def test_targets_finite_without_nanguard(monkeypatch):
                             jnp.zeros((3, 160, 256), jnp.uint8),
                             key, num_rois=8)
     assert np.isfinite(np.asarray(pt.bbox_targets)).all()
+
+
+def test_proposal_targets_all_fg_cyclic_fill(rng):
+    """Distribution pin for the documented deviation from the reference:
+    when every candidate is fg (no bg at all), proposal_target_layer.py
+    samples the R slots from the fg set uniformly WITH replacement
+    (npr.choice); we fill cyclically over a randomly-ordered fg set.
+    Marginals match (each fg expected R/F times); the deviation is the
+    joint (counts are floor/ceil(R/F) exactly instead of multinomial).
+    This test pins that contract: all slots fg, per-candidate counts in
+    {floor, ceil}, random order keyed by `key`."""
+    gt = jnp.asarray([[20.0, 20.0, 120.0, 120.0, 5.0]], jnp.float32)
+    gt_valid = jnp.asarray([True])
+    masks = jnp.asarray(np.ones((1, 160, 256), np.uint8))
+    # 6 proposals, all overlapping gt >= 0.5 -> fg; no bg anywhere
+    props = np.asarray([[20, 20, 120, 120],
+                        [25, 22, 118, 119],
+                        [18, 25, 122, 115],
+                        [22, 18, 119, 121],
+                        [24, 24, 116, 116],
+                        [19, 21, 121, 118]], np.float32)
+    out = proposal_targets(jnp.asarray(props), jnp.ones((6,), bool),
+                           gt, gt_valid, masks, jax.random.PRNGKey(3),
+                           num_rois=16)
+    labels = np.asarray(out.labels)
+    valid = np.asarray(out.roi_valid)
+    assert valid.all()
+    assert (labels == 5).all()          # every slot is a real fg
+    rois = np.asarray(out.rois)
+    # count appearances of each fg candidate (P+M candidates incl. the
+    # appended gt box, which duplicates props[0] here)
+    cands = np.concatenate([props, np.asarray(gt)[:, :4]], 0)
+    counts = np.zeros(len(cands), int)
+    for r in rois:
+        d = np.abs(cands - r[None]).sum(1)
+        counts[np.argmin(d)] += 1
+    # gt candidate only participates via fallback when no prop fg exists;
+    # here prop fg exists, so 6 active candidates over 16 slots
+    active = counts[counts > 0]
+    assert counts.sum() == 16
+    lo, hi = 16 // 6, -(-16 // 6)
+    assert all(c in (lo, hi) for c in active), counts
