@@ -99,6 +99,10 @@ def bench_eval():
     from lang2seg_tpu.utils.metrics import SegEvalAccumulator
 
     cfg = flagship_config()
+    # synthetic "original" sizes run up to canvas/scale (real COCO is
+    # <= 640/side); size the device-paste buffers to fit
+    cfg.data.max_orig_h = 640
+    cfg.data.max_orig_w = 1024
     num_sents = 8
     model = create_model(cfg)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
@@ -107,19 +111,21 @@ def bench_eval():
     def make_eval_batch(seed):
         b = synthetic_batch(cfg, 1, num_sents, seed=seed)
         b["im_scale"] = np.float32(1.2)
+        # wire format: raw uint8 BGR canvas (the evaluator mean-subtracts
+        # on device) — 4x less host->device transfer per image
+        means = np.asarray(cfg.data.pixel_means_bgr, np.float32)
+        b["images"] = np.clip(b["images"] + means, 0, 255).astype(np.uint8)
         return b
 
     batches = [make_eval_batch(s) for s in range(4)]
     # warmup/compile
     ev.eval_image(params, batches[0], SegEvalAccumulator())
 
-    acc = SegEvalAccumulator()
     iters = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        for b in batches:
-            ev.eval_image(params, b, acc)
+    summary = ev.eval_split(params, batches * iters)
     dt = time.perf_counter() - t0
+    assert summary["overall_iou"] >= 0.0
     n = iters * len(batches) * num_sents
     expr_per_sec = n / dt
     print(json.dumps({

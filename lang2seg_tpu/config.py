@@ -183,6 +183,10 @@ class DataConfig:
     max_len: int = 10                       # 20 for refcocog
     pixel_means_bgr: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
     max_gt_per_image: int = 8               # padded GT slots per image
+    # fixed original-resolution buffers for the device-paste eval path
+    # (engine/evaluator.py): COCO images are <= 640 per side
+    max_orig_h: int = 640
+    max_orig_w: int = 640
 
 
 @dataclass

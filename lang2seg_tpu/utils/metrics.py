@@ -103,8 +103,13 @@ class SegEvalAccumulator:
         self.num_sent += 1
 
     def add_segmentation(self, pred_mask: np.ndarray, gt_mask: np.ndarray):
-        i = float(np.logical_and(pred_mask, gt_mask).sum())
-        u = float(np.logical_or(pred_mask, gt_mask).sum())
+        self.add_segmentation_iu(
+            float(np.logical_and(pred_mask, gt_mask).sum()),
+            float(np.logical_or(pred_mask, gt_mask).sum()))
+
+    def add_segmentation_iu(self, i: float, u: float):
+        """Accumulate from precomputed intersection/union pixel counts
+        (the device-paste eval path reduces I/U on device)."""
         self.cum_i += i
         self.cum_u += u
         iou = i / u if u > 0 else 0.0

@@ -54,7 +54,7 @@ def test_accumulator_summary():
 def test_eval_image_end_to_end():
     cfg = tiny_config()
     model, tx, state = create_train_state(cfg)
-    ev = Evaluator(model, cfg)
+    ev = Evaluator(model, cfg, device_paste=False)
     b = synthetic_batch(cfg, 1, 2, seed=5)
     batch = {"images": b["images"], "im_hw": b["im_hw"],
              "labels": b["labels"], "gt_boxes": b["gt_boxes"],
@@ -67,3 +67,48 @@ def test_eval_image_end_to_end():
     assert acc.num_sent == 2 and acc.seg_total == 2
     assert 0.0 <= s["det_acc"] <= 1.0
     assert 0.0 <= s["overall_iou"] <= 1.0
+
+
+def test_device_paste_matches_host_protocol(rng):
+    """The device paste-back + IoU (fixed-size buffers) must reproduce the
+    host protocol (recover_masks + nearest gt resize + 122/255 threshold)
+    pixel-for-pixel away from the float threshold boundary."""
+    import jax.numpy as jnp
+    from lang2seg_tpu.utils.metrics import nearest_resize
+
+    hc, wc = 96, 128          # canvas (scaled frame)
+    sh, sw = 90, 120          # scaled true extent
+    ih, iw = 60, 80           # original extent
+    oh, ow = 100, 130         # fixed device buffers (>= originals)
+    s = 3
+    probs = rng.rand(s, 14, 14).astype(np.float32)
+    # keep away from the 122/255 threshold to dodge f32-vs-f64 flips
+    probs = np.where(np.abs(probs - 122.0 / 255.0) < 0.02,
+                     probs + 0.05, probs).astype(np.float32)
+    boxes = np.array([[5.3, 8.1, 40.9, 40.2],
+                      [-6.0, -3.0, 70.0, 50.0],     # clips at the edges
+                      [20.0, 30.0, 90.0, 70.0]],    # clips bottom-right
+                     np.float32)
+    gt = (rng.rand(s, hc, wc) > 0.5).astype(np.uint8)
+
+    inter_d, union_d = Evaluator._paste_iou_fn(
+        jnp.asarray(probs), jnp.asarray(boxes), jnp.asarray(gt),
+        jnp.int32(sh), jnp.int32(sw), jnp.int32(ih), jnp.int32(iw),
+        oh=oh, ow=ow)
+    # bit-packed wire format must produce identical counts
+    inter_p, union_p = Evaluator._paste_iou_fn(
+        jnp.asarray(probs), jnp.asarray(boxes),
+        jnp.asarray(np.packbits(gt > 0, axis=-1)),
+        jnp.int32(sh), jnp.int32(sw), jnp.int32(ih), jnp.int32(iw),
+        oh=oh, ow=ow, packed=True)
+    np.testing.assert_array_equal(np.asarray(inter_d), np.asarray(inter_p))
+    np.testing.assert_array_equal(np.asarray(union_d), np.asarray(union_p))
+
+    pasted = recover_masks(probs, boxes.copy(), ih, iw)
+    pred = (pasted * 255.0 > 122.0)
+    for i in range(s):
+        gt_orig = nearest_resize(gt[i, :sh, :sw], ih, iw) > 0
+        ih_ = np.logical_and(pred[i], gt_orig).sum()
+        uh_ = np.logical_or(pred[i], gt_orig).sum()
+        assert int(inter_d[i]) == int(ih_), (i, int(inter_d[i]), int(ih_))
+        assert int(union_d[i]) == int(uh_), (i, int(union_d[i]), int(uh_))
