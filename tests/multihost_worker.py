@@ -1,17 +1,59 @@
-"""Worker process for the 2-process multi-host smoke test.
+"""Worker process for the 2-process multi-host smoke tests.
 
 Run by tests/test_multihost.py with JAX_PLATFORMS=cpu and 2 virtual
 devices per process: initializes jax.distributed (the path wrapped by
-lang2seg_tpu.parallel.mesh.initialize_multihost), builds the global
-4-device data mesh, and runs a cross-process psum under shard_map.
-Prints `PSUM <value>` on success.
+lang2seg_tpu.parallel.mesh.initialize_multihost) and builds the global
+4-device data mesh. Default mode runs a cross-process psum under
+shard_map and prints `PSUM <value>`; `--train` runs ONE step of the
+PRODUCT sharded train step (make_sharded_train_step) over the global
+mesh — params replicated across processes, batch sharded 4 ways — and
+prints `TRAINLOSS <value>` (identical on every process by pmean).
 
-Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id>
+Usage: python multihost_worker.py <coordinator> <n> <proc_id> [--train]
 """
 
 import sys
 
 import numpy as np
+
+
+def train_mode(mesh):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lang2seg_tpu.engine.train_state import create_train_state
+    from lang2seg_tpu.parallel.train import make_sharded_train_step
+    from lang2seg_tpu.data.synthetic import synthetic_batch
+    from tests.test_network import tiny_config
+
+    cfg = tiny_config()
+    model, tx, state = create_train_state(cfg)
+    step = make_sharded_train_step(model, cfg, tx, mesh)
+
+    shards = len(mesh.devices.flat)
+    blocks = []
+    for s in range(shards):
+        b = synthetic_batch(cfg, 1, 2, seed=s)
+        b["expr_uid"] = np.arange(2, dtype=np.int32) + 2 * s
+        blocks.append(b)
+    gbatch = {k: np.concatenate([np.asarray(b[k]) for b in blocks], 0)
+              for k in blocks[0]}
+
+    # every process holds identical host values (same seeds); globalize
+    # via callbacks that slice the global value per device
+    data_s = NamedSharding(mesh, P("data"))
+    rep_s = NamedSharding(mesh, P())
+    batch = {k: jax.make_array_from_callback(
+        v.shape, data_s, lambda idx, v=v: v[idx])
+        for k, v in gbatch.items()}
+    state = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            np.shape(x), rep_s, lambda idx, x=np.asarray(x): x[idx]),
+        state)
+
+    new_state, losses = step(state, batch)
+    loss = float(losses["total_loss"])
+    assert np.isfinite(loss), loss
+    print(f"TRAINLOSS {loss:.6f}", flush=True)
 
 
 def main():
@@ -34,6 +76,9 @@ def main():
     assert len(devices) == num_procs * len(local), (devices, local)
 
     mesh = make_mesh(len(devices), devices=devices)
+    if "--train" in sys.argv:
+        train_mode(mesh)
+        return
     spec = batch_spec()
 
     # each process contributes its own host data (the multi-host loader

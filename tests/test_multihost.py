@@ -26,8 +26,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
-def test_two_process_psum():
+def _run_workers(extra_args, timeout_s=570):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -39,13 +38,13 @@ def test_two_process_psum():
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lang2seg_jax_cache")
 
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(p)],
+        [sys.executable, WORKER, coord, "2", str(p)] + extra_args,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for p in range(2)]
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=570)
+            out, err = p.communicate(timeout=timeout_s)
             outs.append((p.returncode, out, err))
     finally:
         for p in procs:
@@ -57,7 +56,28 @@ def test_two_process_psum():
                         and "support" in err.lower()):
             pytest.skip(f"multi-process CPU unsupported here: {err[-300:]}")
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    return outs
+
+
+@pytest.mark.timeout(600)
+def test_two_process_psum():
+    outs = _run_workers([])
+    for _, out, _ in outs:
         assert "PSUM" in out, out
     # both workers must agree on the reduced value
     vals = [o.split("PSUM")[1].strip() for _, o, _ in outs]
+    assert vals[0] == vals[1], vals
+
+
+@pytest.mark.timeout(900)
+def test_two_process_sharded_train_step():
+    """The PRODUCT data-parallel train step (make_sharded_train_step)
+    runs across 2 OS processes on a global 4-device mesh: params
+    replicated, batch sharded, gradients pmean'd over DCN-equivalent
+    process boundaries. Both processes must report the identical loss."""
+    outs = _run_workers(["--train"], timeout_s=870)
+    vals = []
+    for _, out, _ in outs:
+        assert "TRAINLOSS" in out, out
+        vals.append(out.split("TRAINLOSS")[1].strip())
     assert vals[0] == vals[1], vals
