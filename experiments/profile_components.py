@@ -41,7 +41,13 @@ def main():
     from lang2seg_tpu.models.resnet import ResNetC4
 
     rng = np.random.RandomState(0)
-    results = {}
+
+    class _Printing(dict):
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            print(json.dumps({k: round(v, 2)}), flush=True)
+
+    results = _Printing()
 
     # ---- backbone head fwd+bwd on I images ----
     bb = ResNetC4(depth="resnet101", dtype=jnp.bfloat16)
@@ -204,14 +210,17 @@ def main():
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, I, E).items()}
 
-    # optimizer update alone (SGD momentum over the full param tree)
+    # optimizer update alone (SGD momentum over the TRAINABLE subtree —
+    # the frozen subtree is structurally excluded since round 2)
     import optax
-    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    from lang2seg_tpu.engine.optimizer import partition_params
+    trainable, _ = partition_params(state.params, cfg)
+    grads = jax.tree_util.tree_map(jnp.ones_like, trainable)
     def opt_fn(g, o, p):
         u, no = tx.update(g, o, p)
         return optax.apply_updates(p, u), no
     results["optimizer_update_ms"] = timeit(
-        jax.jit(opt_fn), grads, state.opt_state, state.params)
+        jax.jit(opt_fn), grads, state.opt_state, trainable)
 
     # forward only (loss values; backward dead-code-eliminated)
     def fwd_only(s, b):
@@ -232,8 +241,6 @@ def main():
     float(losses["total_loss"])
     results["full_step_ms"] = (time.perf_counter() - t0) / 10 * 1000.0
 
-    for k, v in results.items():
-        print(json.dumps({k: round(v, 2)}), flush=True)
 
 
 if __name__ == "__main__":
