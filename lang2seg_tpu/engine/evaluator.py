@@ -65,6 +65,31 @@ class Evaluator:
             self._paste_iou_fn, oh=cfg.data.max_orig_h,
             ow=cfg.data.max_orig_w, packed=True))
 
+        # the whole per-image eval as ONE jit: on the tunneled device each
+        # dispatch/eager op is a round trip, and the split-jits loop paid
+        # ~10 of them per image — more than the eval compute itself
+        def eval_all(p, images, im_hw, labels, gm, scale, sh, sw, ih, iw,
+                     *, packed):
+            out = fwd(p, {"images": images, "im_hw": im_hw,
+                          "labels": labels})
+            sel, cls = self._select_fn(
+                out["rois"], out["bbox_pred"], out["cls_prob"],
+                out["roi_valid"], scale.astype(jnp.float32),
+                ih.astype(jnp.float32), iw.astype(jnp.float32))
+            probs = model.apply(
+                {"params": p}, out["gated_conv"],
+                (sel * scale.astype(jnp.float32))[:, None, :],
+                cls[:, None], method=Lang2Seg.predict_masks)[:, 0]
+            inter, union = self._paste_iou_fn(
+                probs, sel, gm, sh, sw, ih, iw,
+                oh=cfg.data.max_orig_h, ow=cfg.data.max_orig_w,
+                packed=packed)
+            return sel, cls, inter, union
+
+        self._eval_all = jax.jit(functools.partial(eval_all, packed=False))
+        self._eval_all_packed = jax.jit(functools.partial(eval_all,
+                                                          packed=True))
+
     @staticmethod
     def _select_fn(rois, deltas, scores, valid, scale, ih, iw):
         """Device-side batched argmax protocol over all S sentences at
@@ -179,51 +204,47 @@ class Evaluator:
         actual eval compute."""
         m = self.cfg.model
         scale = float(batch["im_scale"])
-        out = self._fwd(params, {
-            "images": jnp.asarray(batch["images"]),
-            "im_hw": jnp.asarray(batch["im_hw"]),
-            "labels": jnp.asarray(batch["labels"]),
-        })
         ih = int(round(float(batch["im_hw"][0][0]) / scale))
         iw = int(round(float(batch["im_hw"][0][1]) / scale))
+        sh = int(round(float(batch["im_hw"][0][0])))
+        sw = int(round(float(batch["im_hw"][0][1])))
+        rec = {"batch": batch, "scale": scale, "ih": ih, "iw": iw,
+               "sh": sh, "sw": sw, "sent_valid": sent_valid}
+        fits = (ih <= self.cfg.data.max_orig_h
+                and iw <= self.cfg.data.max_orig_w)
 
+        if m.use_mask_head and self.device_paste and fits:
+            # single fused dispatch; raw numpy operands (scalars included)
+            # ride along with the one call
+            gm = np.asarray(batch["gt_masks"])
+            packed = gm.shape[-1] % 8 == 0
+            fn = self._eval_all_packed if packed else self._eval_all
+            gm = np.packbits(gm > 0, axis=-1) if packed else gm
+            sel, cls, inter, union = fn(
+                params, batch["images"], batch["im_hw"], batch["labels"],
+                gm, np.float32(scale), np.int32(sh), np.int32(sw),
+                np.int32(ih), np.int32(iw))
+            rec["sel"], rec["iu"] = sel, (inter, union)
+            return rec
+
+        out = self._fwd(params, {
+            "images": batch["images"], "im_hw": batch["im_hw"],
+            "labels": batch["labels"],
+        })
         # one jitted dispatch selects boxes for ALL sentences (the
         # reference decodes and argmaxes per sentence on host,
         # test.py:245-259)
         sel, cls = self._select(
             out["rois"], out["bbox_pred"], out["cls_prob"],
-            out["roi_valid"], jnp.float32(scale),
-            jnp.float32(ih), jnp.float32(iw))
-
-        rec = {"sel": sel, "cls": cls, "batch": batch, "scale": scale,
-               "ih": ih, "iw": iw, "sent_valid": sent_valid}
+            out["roi_valid"], np.float32(scale),
+            np.float32(ih), np.float32(iw))
+        rec["sel"] = sel
         if m.use_mask_head:
             # mask branch consumes the DEVICE selection — no host hop
-            dev_probs = self._mask_fwd(
+            rec["dev_probs"] = self._mask_fwd(
                 params, out["gated_conv"],
                 (sel * jnp.float32(scale))[:, None, :],
                 cls[:, None])[:, 0]                         # (S, 14, 14)
-            sh = int(round(float(batch["im_hw"][0][0])))
-            sw = int(round(float(batch["im_hw"][0][1])))
-            rec["sh"], rec["sw"] = sh, sw
-            fits = (ih <= self.cfg.data.max_orig_h
-                    and iw <= self.cfg.data.max_orig_w)
-            if self.device_paste and fits:
-                gm = np.asarray(batch["gt_masks"])
-                if gm.shape[-1] % 8 == 0:
-                    # pack the binary masks host-side: 8x less wire
-                    rec["iu"] = self._paste_iou_packed(
-                        dev_probs, sel,
-                        jnp.asarray(np.packbits(gm > 0, axis=-1)),
-                        jnp.int32(sh), jnp.int32(sw),
-                        jnp.int32(ih), jnp.int32(iw))
-                else:
-                    rec["iu"] = self._paste_iou(
-                        dev_probs, sel, jnp.asarray(gm),
-                        jnp.int32(sh), jnp.int32(sw),
-                        jnp.int32(ih), jnp.int32(iw))
-            else:
-                rec["dev_probs"] = dev_probs
         return rec
 
     def drain(self, rec: Dict, acc: SegEvalAccumulator) -> None:
