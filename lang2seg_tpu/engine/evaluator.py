@@ -292,24 +292,31 @@ class Evaluator:
         self.drain(self.dispatch_image(params, batch, sent_valid), acc)
 
     def eval_split(self, params, batches: Iterable[Dict[str, np.ndarray]],
-                   verbose: bool = False) -> Dict[str, float]:
-        """Two-deep software pipeline: dispatch image i, then drain
-        image i-1 while i computes."""
+                   verbose: bool = False,
+                   pipeline_depth: int = 4) -> Dict[str, float]:
+        """Software-pipelined eval: keep up to `pipeline_depth` images
+        dispatched ahead of the drain point so readbacks and host->device
+        transfers overlap device compute (each blocking readback on the
+        tunneled device costs a full round trip)."""
+        from collections import deque
         acc = SegEvalAccumulator()
-        pending = None
+        pending = deque()
         bi = 0
+
+        def drain_one():
+            nonlocal bi
+            self.drain(pending.popleft(), acc)
+            bi += 1
+            if verbose and bi % 20 == 0:
+                s = acc.summary()
+                print(f"[eval] {bi} images: det_acc={s['det_acc']:.4f} "
+                      f"IoU={s['overall_iou']:.4f}")
+
         for batch in batches:
-            rec = self.dispatch_image(params, batch,
-                                      sent_valid=batch.get("sent_valid"))
-            if pending is not None:
-                self.drain(pending, acc)
-                bi += 1
-                if verbose and bi % 20 == 0:
-                    s = acc.summary()
-                    print(f"[eval] {bi} images: "
-                          f"det_acc={s['det_acc']:.4f} "
-                          f"IoU={s['overall_iou']:.4f}")
-            pending = rec
-        if pending is not None:
-            self.drain(pending, acc)
+            pending.append(self.dispatch_image(
+                params, batch, sent_valid=batch.get("sent_valid")))
+            if len(pending) >= max(1, pipeline_depth):
+                drain_one()
+        while pending:
+            drain_one()
         return acc.summary()

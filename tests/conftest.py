@@ -17,9 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # persistent compilation cache: this host has ONE cpu core — caching
 # compiled executables across test runs cuts suite time from ~30min to
-# seconds on re-runs
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/lang2seg_jax_cache")
+# seconds on re-runs. A SEPARATE dir from the TPU/bench cache: the TPU
+# tunnel's remote compile service writes CPU AOT entries with the remote
+# machine's features into its cache, which crash when loaded here.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/lang2seg_jax_cache_cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

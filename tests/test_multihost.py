@@ -35,7 +35,10 @@ def _run_workers(extra_args, timeout_s=570):
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lang2seg_jax_cache")
+    # own cache dir: the TPU tunnel's REMOTE compile service writes CPU
+    # AOT entries with the remote machine's features (+prefer-no-scatter
+    # etc.) into the shared cache; loading those here crashes the worker
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/lang2seg_jax_cache_cpu"
 
     procs = [subprocess.Popen(
         [sys.executable, WORKER, coord, "2", str(p)] + extra_args,
