@@ -187,6 +187,15 @@ class DataConfig:
     # (engine/evaluator.py): COCO images are <= 640 per side
     max_orig_h: int = 640
     max_orig_w: int = 640
+    # wire formats (host->device transfer is the scarce resource on
+    # tunneled TPU setups): ship the canvas as raw uint8 BGR (4x smaller;
+    # mean subtraction moves on device; padding uses the rounded pixel
+    # means so it lands within 0.25 of the reference's zero-in-subtracted-
+    # space padding — below the bf16 compute ulp at pixel scale) and GT
+    # masks bit-packed (8x smaller). Set False for bit-strict parity with
+    # the reference's float preprocessing.
+    wire_uint8_images: bool = True
+    wire_packed_masks: bool = True
 
 
 @dataclass

@@ -163,9 +163,17 @@ class GtBatchLoader(Loader):
         scale = self._scale_for(h, w)
         resized = cv2.resize(im.astype(np.float32), None, fx=scale, fy=scale,
                              interpolation=cv2.INTER_LINEAR)
+        sh, sw = resized.shape[:2]
+        if d.wire_uint8_images:
+            # uint8 wire format: raw BGR, mean subtraction happens on
+            # device (models/network.py); padding = rounded pixel means so
+            # the subtracted canvas padding is ~0 like the reference's
+            canvas = np.empty((d.canvas_h, d.canvas_w, 3), np.uint8)
+            canvas[:] = np.round(d.pixel_means_bgr).astype(np.uint8)
+            canvas[:sh, :sw] = np.clip(np.round(resized), 0, 255)
+            return canvas, scale, sh, sw
         resized -= np.asarray(d.pixel_means_bgr, np.float32)
         canvas = np.zeros((d.canvas_h, d.canvas_w, 3), np.float32)
-        sh, sw = resized.shape[:2]
         canvas[:sh, :sw] = resized
         return canvas, scale, sh, sw
 
@@ -230,7 +238,7 @@ class GtBatchLoader(Loader):
         img_ids, wrapped = self._next_image_ids(split, num_images)
 
         images = np.zeros((num_images, d.canvas_h, d.canvas_w, 3),
-                          np.float32)
+                          np.uint8 if d.wire_uint8_images else np.float32)
         im_hw = np.zeros((num_images, 2), np.float32)
         scales = np.zeros((num_images,), np.float32)
         pool = []  # (local_img_idx, ref_id, sent_id)
@@ -272,6 +280,10 @@ class GtBatchLoader(Loader):
             sh, sw = per_image_extent[li]
             gt_masks[ei] = self._ref_masks_to_canvas([rid], sh, sw)[0]
 
+        if d.wire_packed_masks and d.canvas_w % 8 == 0:
+            # bit-packed wire format, unpacked on device
+            # (models/network.py train_forward)
+            gt_masks = np.packbits(gt_masks > 0, axis=-1)
         batch = {"images": images, "im_hw": im_hw, "labels": labels,
                  "img_idx": img_idx, "expr_uid": expr_uid,
                  "gt_boxes": gt_boxes,

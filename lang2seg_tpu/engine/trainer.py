@@ -144,7 +144,10 @@ class Trainer:
                 jax.profiler.stop_trace()
             self.timer.tic("step")
             batch = prefetcher.get()
-            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+            # pass numpy straight into the jitted step: the transfer rides
+            # the single call instead of one eager device op per array
+            # (each eager op is a round trip on the tunneled device)
+            dev_batch = {k: v for k, v in batch.items()
                          if k not in ("wrapped", "im_scales")}
             self.state, losses = self.step_fn(self.state, dev_batch)
             it += 1

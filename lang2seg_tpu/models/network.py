@@ -166,6 +166,11 @@ class Lang2Seg(nn.Module):
         """
         cfg, m, t = self.cfg, self.cfg.model, self.cfg.train
         images = batch["images"]
+        if images.dtype == jnp.uint8:
+            # uint8 wire format (cfg.data.wire_uint8_images): raw BGR,
+            # mean-subtract on device — 4x less host->device transfer
+            means = jnp.asarray(cfg.data.pixel_means_bgr, jnp.float32)
+            images = images.astype(jnp.float32) - means
         e = batch["img_idx"].shape[0]
 
         gt_boxes = batch["gt_boxes"]
@@ -174,6 +179,14 @@ class Lang2Seg(nn.Module):
         gt_masks = batch["gt_masks"]
         if gt_masks.ndim == 3:
             gt_masks = gt_masks[:, None]
+        if gt_masks.shape[-1] * 8 == images.shape[2]:
+            # bit-packed wire format (cfg.data.wire_packed_masks): masks
+            # are canvas-sized by contract, so a last dim of W/8 is
+            # unambiguously np.packbits(_, axis=-1) (MSB-first)
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (gt_masks[..., None] >> shifts) & jnp.uint8(1)
+            gt_masks = bits.reshape(*gt_masks.shape[:-1],
+                                    gt_masks.shape[-1] * 8)
         gt_valid = batch.get("gt_valid")
         if gt_valid is None:
             gt_valid = jnp.ones(gt_boxes.shape[:2], bool)
@@ -362,7 +375,12 @@ class Lang2Seg(nn.Module):
         the follow-up mask prediction (reference test_image,
         network.py:625-642)."""
         cfg, m, ts = self.cfg, self.cfg.model, self.cfg.test
-        net_conv_img = self.backbone.head(batch["images"])
+        images = batch["images"]
+        if images.dtype == jnp.uint8:
+            # uint8 wire format — see train_forward
+            means = jnp.asarray(cfg.data.pixel_means_bgr, jnp.float32)
+            images = images.astype(jnp.float32) - means
+        net_conv_img = self.backbone.head(images)
         e = batch["labels"].shape[0]
         net_conv = jnp.broadcast_to(
             net_conv_img, (e,) + net_conv_img.shape[1:])

@@ -68,9 +68,13 @@ def test_prepro_vocab_and_labels(dataset):
 def test_train_batch_shapes_and_scaling(dataset):
     root, jp, hp = dataset
     cfg = make_cfg(root)
+    # float wire formats: the reference-exact preprocessing path
+    cfg.data.wire_uint8_images = False
+    cfg.data.wire_packed_masks = False
     loader = GtBatchLoader(jp, hp, cfg)
     b = loader.get_batch("train")
     assert b["images"].shape == (2, 128, 192, 3)
+    assert b["images"].dtype == np.float32
     assert b["labels"].shape == (4, loader.max_length)
     assert b["gt_boxes"].shape == (4, 5)
     assert b["gt_masks"].shape == (4, 128, 192)
@@ -88,6 +92,43 @@ def test_train_batch_shapes_and_scaling(dataset):
     sh, sw = b["im_hw"][0].astype(int)
     assert (b["images"][0, sh:, :, :] == 0).all()
     assert (b["images"][0, :, sw:, :] == 0).all()
+
+
+def test_train_batch_wire_formats(dataset):
+    """Default wire formats: uint8 images (raw BGR, padding = rounded
+    pixel means) and bit-packed masks — content must match the float path
+    to within quantization (models/network.py unpacks on device)."""
+    root, jp, hp = dataset
+    cfg = make_cfg(root)
+    assert cfg.data.wire_uint8_images and cfg.data.wire_packed_masks
+    loader = GtBatchLoader(jp, hp, cfg)
+    b = loader.get_batch("train")
+    assert b["images"].dtype == np.uint8
+    assert b["gt_masks"].shape == (4, 128, 192 // 8)
+    assert b["gt_masks"].dtype == np.uint8
+
+    cfg2 = make_cfg(root)
+    cfg2.data.wire_uint8_images = False
+    cfg2.data.wire_packed_masks = False
+    loader2 = GtBatchLoader(jp, hp, cfg2)
+    b2 = loader2.get_batch("train")
+
+    # identical iteration order -> same images/refs; masks unpack exactly
+    unpacked = np.unpackbits(b["gt_masks"], axis=-1)
+    np.testing.assert_array_equal(unpacked, b2["gt_masks"])
+    # u8 - means matches the float canvas within rounding, on the true
+    # image region
+    means = np.asarray(cfg.data.pixel_means_bgr, np.float32)
+    sh, sw = b["im_hw"][0].astype(int)
+    diff = np.abs((b["images"][0, :sh, :sw].astype(np.float32) - means)
+                  - b2["images"][0, :sh, :sw])
+    assert diff.max() <= 0.5 + 1e-5
+    # padding: rounded means - means (~0 in subtracted space); some
+    # fixture images fill the whole canvas in one dimension
+    pads = [b["images"][0, sh:, :], b["images"][0, :, sw:]]
+    for pad in pads:
+        if pad.size:
+            assert np.abs(pad.astype(np.float32) - means).max() <= 0.5
 
 
 def test_iterator_wraps_and_state_roundtrip(dataset):

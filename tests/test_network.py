@@ -151,6 +151,32 @@ def test_tail_matmul_parity(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wire_format_parity():
+    """uint8 images + bit-packed masks (the transfer-lean wire formats,
+    cfg.data.wire_*) must produce the SAME losses as the float path when
+    the content is identical: float batch = u8.astype(f32) - means."""
+    cfg = tiny_config()
+    model, tx, state = create_train_state(cfg)
+    step = make_train_step(model, cfg, tx)
+    b = synthetic_batch(cfg, 1, 2, seed=9)
+    means = np.asarray(cfg.data.pixel_means_bgr, np.float32)
+    u8 = np.clip(np.round(b["images"] + means), 0, 255).astype(np.uint8)
+
+    wire = dict(b)
+    wire["images"] = u8
+    assert cfg.data.canvas_w % 8 == 0
+    wire["gt_masks"] = np.packbits(b["gt_masks"] > 0, axis=-1)
+
+    flt = dict(b)
+    flt["images"] = u8.astype(np.float32) - means
+
+    _, l_wire = step(state, {k: jnp.asarray(v) for k, v in wire.items()})
+    _, l_flt = step(state, {k: jnp.asarray(v) for k, v in flt.items()})
+    for k in l_flt:
+        np.testing.assert_allclose(float(l_wire[k]), float(l_flt[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_tail_mosaic_parity(rng):
     """Mosaic tail (all crops packed into one large image with re-zeroed
     1-px gaps) == per-crop layer4 with identical params. BN affines are
