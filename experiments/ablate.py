@@ -86,7 +86,9 @@ def main():
         full_eps, _ = time_step(base, iters=args.iters)
         full_ms = 8 / full_eps * 1000
 
-        # no ROI tail cost: 1 ROI instead of 256 (keeps shapes legal)
+        # approximate the ROI tail's share by shrinking 256 ROIs to 8
+        # (shapes stay legal); the delta slightly UNDERestimates the full
+        # tail cost since 8 ROIs' worth remains in the slim run
         cfg = flagship_cfg()
         for k, v in dict(combos)[best].items():
             setattr(cfg.model, k, v)

@@ -163,6 +163,10 @@ class ModelConfig:
     # shifted window reads cost more HBM than the MXU tiling saves); kept
     # as a documented alternative, off by default.
     tail_matmul: bool = False
+    # conv1 stem evaluated via the lossless 2x2 space-to-depth re-layout
+    # (models/resnet.py Conv1): same (7,7,3,64) parameter, stride-1 4x4
+    # conv over a (H/2, W/2, 12) input that the MXU can tile
+    head_s2d: bool = False
     # ROI-tail as one large mosaic image (8-px pitch, zero gaps re-zeroed
     # before each 3x3 conv — math exactly equals per-crop convs; see
     # models/resnet.py ResNetC4.tail_mosaic). The measured-fastest tail.

@@ -231,7 +231,17 @@ class GtBatchLoader(Loader):
                       num_expr: Optional[int] = None
                       ) -> Dict[str, np.ndarray]:
         """One block: I images, E expressions sampled from those images'
-        (ref, sentence) pools (with replacement when fewer than E exist)."""
+        (ref, sentence) pools (with replacement when fewer than E exist).
+
+        DELIBERATE departure from the reference's epoch semantics: the
+        reference steps every sentence of each visited image exactly once
+        (train_val.py:350); here E expressions are drawn uniformly from
+        the visited images' pool, so a given sentence may be skipped or
+        repeated within one image visit. Image visitation is still an
+        exact shuffled epoch (_next_image_ids), and per-sentence coverage
+        converges to uniform at rate E/pool per visit —
+        tests/test_data_pipeline.py::test_sentence_coverage_over_epochs
+        pins that every sentence is visited within a few epochs."""
         t, d, m = self.cfg.train, self.cfg.data, self.cfg.model
         num_images = num_images or t.images_per_batch
         num_expr = num_expr or t.expressions_per_batch

@@ -58,20 +58,18 @@ class Evaluator:
                 {"params": p}, conv, boxes, labels,
                 method=Lang2Seg.predict_masks))
         self._select = jax.jit(self._select_fn)
-        self._paste_iou = jax.jit(functools.partial(
-            self._paste_iou_fn, oh=cfg.data.max_orig_h,
-            ow=cfg.data.max_orig_w))
-        self._paste_iou_packed = jax.jit(functools.partial(
-            self._paste_iou_fn, oh=cfg.data.max_orig_h,
-            ow=cfg.data.max_orig_w, packed=True))
+        # per-image uid folded into test_forward's proposal key so
+        # TEST.MODE='top' re-draws its random pad per image (the reference
+        # re-draws per call, proposal_top_layer.py:40)
+        self._rng_uid = 0
 
         # the whole per-image eval as ONE jit: on the tunneled device each
         # dispatch/eager op is a round trip, and the split-jits loop paid
         # ~10 of them per image — more than the eval compute itself
-        def eval_all(p, images, im_hw, labels, gm, scale, sh, sw, ih, iw,
-                     *, packed):
+        def eval_all(p, images, im_hw, labels, rng_uid, gm, scale, sh, sw,
+                     ih, iw, *, packed):
             out = fwd(p, {"images": images, "im_hw": im_hw,
-                          "labels": labels})
+                          "labels": labels, "rng_uid": rng_uid})
             sel, cls = self._select_fn(
                 out["rois"], out["bbox_pred"], out["cls_prob"],
                 out["roi_valid"], scale.astype(jnp.float32),
@@ -212,6 +210,8 @@ class Evaluator:
                "sh": sh, "sw": sw, "sent_valid": sent_valid}
         fits = (ih <= self.cfg.data.max_orig_h
                 and iw <= self.cfg.data.max_orig_w)
+        self._rng_uid += 1
+        rng_uid = np.int32(self._rng_uid)
 
         if m.use_mask_head and self.device_paste and fits:
             # single fused dispatch; raw numpy operands (scalars included)
@@ -222,14 +222,14 @@ class Evaluator:
             gm = np.packbits(gm > 0, axis=-1) if packed else gm
             sel, cls, inter, union = fn(
                 params, batch["images"], batch["im_hw"], batch["labels"],
-                gm, np.float32(scale), np.int32(sh), np.int32(sw),
+                rng_uid, gm, np.float32(scale), np.int32(sh), np.int32(sw),
                 np.int32(ih), np.int32(iw))
             rec["sel"], rec["iu"] = sel, (inter, union)
             return rec
 
         out = self._fwd(params, {
             "images": batch["images"], "im_hw": batch["im_hw"],
-            "labels": batch["labels"],
+            "labels": batch["labels"], "rng_uid": rng_uid,
         })
         # one jitted dispatch selects boxes for ALL sentences (the
         # reference decodes and argmaxes per sentence on host,

@@ -74,7 +74,8 @@ class Lang2Seg(nn.Module):
         if m.backbone.startswith("resnet"):
             self.backbone = ResNetC4(depth=m.backbone, dtype=dtype,
                                      tail_matmul=m.tail_matmul,
-                                     tail_mosaic=m.tail_mosaic)
+                                     tail_mosaic=m.tail_mosaic,
+                                     head_s2d=m.head_s2d)
         elif m.backbone == "mobilenet_v1":
             from lang2seg_tpu.models.mobilenet import MobileNetV1
             self.backbone = MobileNetV1(dtype=dtype)
@@ -148,7 +149,8 @@ class Lang2Seg(nn.Module):
 
     # ---------- training ----------
 
-    def train_forward(self, batch: Dict[str, jnp.ndarray]
+    def train_forward(self, batch: Dict[str, jnp.ndarray],
+                      targets: Optional[Tuple] = None
                       ) -> Dict[str, jnp.ndarray]:
         """batch:
           images   (I, H, W, 3) float32 mean-subtracted BGR, zero-padded
@@ -162,6 +164,13 @@ class Lang2Seg(nn.Module):
         In language mode (cfg.model.use_language) each example is one
         expression with its single GT ref (M=1); in pretraining mode each
         example is one image with its padded GT set.
+
+        `targets` optionally injects precomputed, E-batched
+        (AnchorTargets, ProposalTargets) in place of the sampled ones —
+        the torch train-parity harness uses this to pin loss/gradient
+        values on identical targets without coupling to RNG subsampling
+        order (the reference samples with npr.choice,
+        anchor_target_layer.py:69-84; we use keyed random ranks).
         Returns dict of losses.
         """
         cfg, m, t = self.cfg, self.cfg.model, self.cfg.train
@@ -179,14 +188,21 @@ class Lang2Seg(nn.Module):
         gt_masks = batch["gt_masks"]
         if gt_masks.ndim == 3:
             gt_masks = gt_masks[:, None]
-        if gt_masks.shape[-1] * 8 == images.shape[2]:
-            # bit-packed wire format (cfg.data.wire_packed_masks): masks
-            # are canvas-sized by contract, so a last dim of W/8 is
-            # unambiguously np.packbits(_, axis=-1) (MSB-first)
+        if cfg.data.wire_packed_masks and \
+                gt_masks.shape[-1] * 8 == images.shape[2]:
+            # bit-packed wire format: masks are np.packbits(_, axis=-1)
+            # (MSB-first). Unpacking is gated on the config flag, not just
+            # the shape, so a caller with wire_packed_masks=False can never
+            # have a coincidental W/8-wide mask silently bit-unpacked.
             shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
             bits = (gt_masks[..., None] >> shifts) & jnp.uint8(1)
             gt_masks = bits.reshape(*gt_masks.shape[:-1],
                                     gt_masks.shape[-1] * 8)
+        elif gt_masks.shape[-1] != images.shape[2]:
+            raise ValueError(
+                f"gt_masks width {gt_masks.shape[-1]} is neither the canvas "
+                f"width {images.shape[2]} nor its bit-packed form (with "
+                f"cfg.data.wire_packed_masks={cfg.data.wire_packed_masks})")
         gt_valid = batch.get("gt_valid")
         if gt_valid is None:
             gt_valid = jnp.ones(gt_boxes.shape[:2], bool)
@@ -238,8 +254,11 @@ class Lang2Seg(nn.Module):
                 normalize_stds=t.bbox_normalize_stds, use_gt=t.use_gt)
             return at, pt
 
-        at, pt = jax.vmap(per_expr)(
-            rpn_cls, rpn_box, im_hw, gt_boxes, gt_valid, gt_masks, keys)
+        if targets is None:
+            at, pt = jax.vmap(per_expr)(
+                rpn_cls, rpn_box, im_hw, gt_boxes, gt_valid, gt_masks, keys)
+        else:
+            at, pt = targets
 
         # ---- RPN losses (network.py:372-387) ----
         rpn_logits = rpn_cls.reshape(e, n, 2)
@@ -406,7 +425,13 @@ class Lang2Seg(nn.Module):
                 ts.rpn_pre_nms_top_n, ts.rpn_post_nms_top_n,
                 ts.rpn_nms_thresh)
 
-        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), e)
+        # 'top' mode's random pad re-draws per call in the reference
+        # (proposal_top_layer.py:40); batches carry a per-image uid to
+        # fold in so successive images draw different pads under jit
+        base_key = jax.random.PRNGKey(cfg.seed)
+        if "rng_uid" in batch:
+            base_key = jax.random.fold_in(base_key, batch["rng_uid"])
+        keys = jax.random.split(base_key, e)
         props = jax.vmap(per_expr)(rpn_cls, rpn_box, keys)
         spatial_fc7 = self._roi_features(gated, props.rois)
         r = spatial_fc7.shape[1]
@@ -432,6 +457,10 @@ class Lang2Seg(nn.Module):
         images: (1, H, W, 3); boxes: (1, B, 4) scaled coords.
         Returns (1, B, num_attributes) in [0, 1] (reference
         eval_easy_utils.py:54-57 thresholds these at 0.5)."""
+        if images.dtype == jnp.uint8:
+            # uint8 wire format — see train_forward
+            means = jnp.asarray(self.cfg.data.pixel_means_bgr, jnp.float32)
+            images = images.astype(jnp.float32) - means
         net_conv = self.backbone.head(images)
         fc7 = self._roi_features(net_conv, boxes)
         pooled = fc7.mean(axis=(2, 3)).astype(jnp.float32)

@@ -95,6 +95,59 @@ class MatmulConv(nn.Module):
         return acc.reshape(r, h, ww, self.features).astype(self.dtype)
 
 
+class Conv1(nn.Module):
+    """The stem conv (7x7 / stride 2 / pad 3, no bias), with an optional
+    lossless space-to-depth evaluation.
+
+    The parameter is ALWAYS the canonical (7, 7, C, 64) kernel at path
+    ``conv1/kernel`` — identical to ``nn.Conv`` and to the torch converter's
+    target — so checkpoints, the converter, and the parity harness are
+    unaffected by which evaluation path runs.
+
+    ``s2d=True`` re-layouts input and kernel at trace time:
+    a stride-2 7x7 conv equals a stride-1 4x4 conv over the 2x2
+    space-to-depth input. Derivation: y[i] = sum_u w[u] x[2i+u-3]; write
+    2i+u-3 = 2(i+s)+d with s in {-2..1}, d in {0,1}; then u = 2s+d+3, i.e.
+    an 8-tap (one zero-padded) even/odd-split kernel — 4 taps over the
+    s2d grid with channels (dy, dx, c) and asymmetric padding (2, 1).
+    Why: XLA lowers the stride-2 3-channel stem at ~0 MXU utilization
+    (memory-bound, 640x1024 canvas); the s2d form is a stride-1 conv with
+    a 4*4*4C-deep contraction that tiles onto the MXU. Same math to f32
+    accumulation order (bf16-exact in tests/test_resnet_s2d.py).
+    Reference stem: resnet_v1.py:115-127 (conv1/bn1/maxpool).
+    """
+    features: int = 64
+    s2d: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, c, self.features))
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        b, h, ww, _ = x.shape
+        if not self.s2d or h % 2 or ww % 2:
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)
+        # kernel: 7x7 -> zero-lead 8x8 -> (4, 4, 4c) taps ordered (dy, dx, c)
+        w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        ws = w8.reshape(4, 2, 4, 2, c, self.features) \
+               .transpose(0, 2, 1, 3, 4, 5) \
+               .reshape(4, 4, 4 * c, self.features)
+        # input: (B, H, W, C) -> (B, H/2, W/2, 4C), channels (dy, dx, c)
+        z = x.reshape(b, h // 2, 2, ww // 2, 2, c) \
+             .transpose(0, 1, 3, 2, 4, 5) \
+             .reshape(b, h // 2, ww // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            z, ws, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+
+
 class Bottleneck(nn.Module):
     """Caffe-style bottleneck: stride sits on conv1 (reference
     resnet_v1.py:80 'change')."""
@@ -160,6 +213,9 @@ class ResNetC4(nn.Module):
     # run layer4 (the per-ROI tail on tiny 7x7 crops) with the explicit
     # matmul conv impl — same params, MXU-friendly lowering (see MatmulConv)
     tail_matmul: bool = False
+    # evaluate conv1 via the lossless 2x2 space-to-depth re-layout (see
+    # Conv1) — the stem's stride-2 3-channel conv is memory-bound as-is
+    head_s2d: bool = False
     # mosaic tail: pack the R tiny crops into ONE large image (8-px pitch,
     # 1-px zero gaps) and run layer4 as ordinary large-map convolutions.
     # Exactly equal to per-crop math: a pad-1 3x3 conv reads at most 1 px
@@ -173,9 +229,8 @@ class ResNetC4(nn.Module):
 
     def setup(self):
         b = STAGE_BLOCKS[self.depth]
-        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2),
-                             padding=[(3, 3), (3, 3)], use_bias=False,
-                             dtype=self.dtype, name="conv1")
+        self.conv1 = Conv1(64, s2d=self.head_s2d, dtype=self.dtype,
+                           name="conv1")
         self.bn1 = FrozenBatchNorm(64, name="bn1")
         self.layer1 = _Stage(64, b[0], 1, self.dtype, name="layer1")
         self.layer2 = _Stage(128, b[1], 2, self.dtype, name="layer2")

@@ -23,18 +23,24 @@ from lang2seg_tpu.ops.roi_align import roi_nearest_crop
 
 _BIG = 1e9
 
-# Workaround for a fused gather+log miscompile observed on this XLA stack
-# (NaN at strided lanes for provably finite inputs; isolated execution is
-# exact). encode_boxes clamps extents at the source, so targets are finite
-# by construction and this guard cannot hide a genuine NaN — it only
-# neutralizes the miscompile. Disable with LANG2SEG_NANGUARD=0 (e.g. to
-# assert-finite on a trusted backend; tests/test_targets.py does).
-_NANGUARD = os.environ.get("LANG2SEG_NANGUARD", "1") != "0"
+# Workaround for a fused gather+log miscompile observed on the axon-jaxlib
+# CPU backend (NaN at strided lanes for provably finite inputs; isolated
+# execution is exact — docs/DESIGN.md). encode_boxes clamps extents at the
+# source, so targets are finite by construction and this guard cannot hide
+# a genuine NaN — it only neutralizes the miscompile. Default: enabled on
+# the CPU backend where the miscompile lives, DISABLED on TPU (a future
+# edit that reintroduced NaNs there would surface instead of being zeroed).
+# Force with LANG2SEG_NANGUARD=1/0; tests/test_targets.py asserts finite
+# with it off.
+_NANGUARD = {"1": True, "0": False}.get(
+    os.environ.get("LANG2SEG_NANGUARD", "auto"), "auto")
 
 
 def _guard(x):
-    return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0) \
-        if _NANGUARD else x
+    on = _NANGUARD
+    if on == "auto":
+        on = jax.default_backend() == "cpu"
+    return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0) if on else x
 
 
 def _random_rank(key, mask):

@@ -35,6 +35,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly @pytest.mark.slow is the quick tier:
+    `pytest -m quick` is the <5-min (warm-cache) verification loop;
+    `pytest -m slow` covers the compile-heavy remainder in a second
+    window (see the verify skill for the cold-run chunking recipe)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)

@@ -97,3 +97,33 @@ def test_att_loss_and_eval_end_to_end(att_env):
     assert o["recall"] >= -1 and o["f1"] <= 1.0
     # scores in [0,1] -> predictions are well-formed word lists
     assert isinstance(o["precision"], float)
+
+
+def test_att_scores_uint8_wire_format_matches_float(att_env):
+    """predict_attribute_scores must apply the same uint8 wire-format
+    guard as train/test_forward: raw uint8 BGR canvases (the loader's
+    default wire format) must score identically to pre-mean-subtracted
+    float inputs (ADVICE r2: the missing guard silently fed 0-255 inputs
+    to the backbone)."""
+    from lang2seg_tpu.engine.train_state import create_train_state
+    from lang2seg_tpu.models.network import Lang2Seg
+    cfg, loader = att_env
+    model, _, state = create_train_state(cfg)
+    rng = np.random.RandomState(0)
+    img_u8 = rng.randint(0, 256, (1, cfg.data.canvas_h, cfg.data.canvas_w,
+                                  3)).astype(np.uint8)
+    img_f32 = img_u8.astype(np.float32) - np.asarray(
+        cfg.data.pixel_means_bgr, np.float32)
+    boxes = np.asarray([[[4.0, 4.0, 60.0, 50.0], [10.0, 8.0, 90.0, 100.0]]],
+                       np.float32)
+    apply = lambda img: model.apply(  # noqa: E731
+        {"params": state.params}, jnp.asarray(img), jnp.asarray(boxes),
+        method=Lang2Seg.predict_attribute_scores)
+    s_u8 = np.asarray(apply(img_u8))
+    s_f32 = np.asarray(apply(img_f32))
+    assert s_u8.shape == (1, 2, cfg.model.num_attributes)
+    np.testing.assert_allclose(s_u8, s_f32, rtol=0, atol=1e-6)
+    # and the scores genuinely depend on mean subtraction (relative
+    # comparison: sigmoid saturates near 0/1 at scratch init)
+    s_raw = np.asarray(apply(img_u8.astype(np.float32)))
+    assert not np.allclose(s_raw, s_f32, rtol=1e-3, atol=0)

@@ -175,3 +175,25 @@ def test_cycle_loader_caption_targets(dataset):
 def test_xywh_to_xyxy():
     out = xywh_to_xyxy(np.array([[10.0, 20.0, 5.0, 8.0]]))
     np.testing.assert_array_equal(out, [[10, 20, 14, 27]])
+
+
+def test_sentence_coverage_over_epochs(dataset):
+    """The loader samples E expressions from the visited images' sentence
+    pool instead of stepping each sentence exactly once per image visit
+    (reference train_val.py:350) — a documented departure. This pins the
+    consequence: every train sentence is still visited within a few
+    epochs (coverage converges to uniform)."""
+    root, jp, hp = dataset
+    cfg = make_cfg(root)
+    loader = GtBatchLoader(jp, hp, cfg, seed=3)
+    want = {int(loader.sent_to_h5[sid])
+            for r in loader.Refs.values() if r["split"] == "train"
+            for sid in r["sent_ids"]}
+    assert len(want) == 16
+    seen = set()
+    epochs = 0
+    while not want <= seen:
+        b = loader.get_batch("train")
+        seen.update(int(u) for u in b["expr_uid"])
+        epochs += int(b["wrapped"])
+        assert epochs <= 12, f"missing after 12 epochs: {want - seen}"

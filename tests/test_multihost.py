@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 
@@ -26,7 +28,7 @@ def _free_port():
     return port
 
 
-def _run_workers(extra_args, timeout_s=570):
+def _run_workers(extra_args, cache_dir, timeout_s=570):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -35,10 +37,12 @@ def _run_workers(extra_args, timeout_s=570):
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    # own cache dir: the TPU tunnel's REMOTE compile service writes CPU
-    # AOT entries with the remote machine's features (+prefer-no-scatter
-    # etc.) into the shared cache; loading those here crashes the worker
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/lang2seg_jax_cache_cpu"
+    # PER-RUN cache dir (pytest tmp_path): any cache the main axon-site
+    # pytest process can write to accumulates remote-compiled CPU AOT
+    # entries with the remote machine's features (+prefer-no-gather etc.)
+    # which crash these pure-CPU workers on load (cpu_aot_loader.cc) —
+    # including /tmp/lang2seg_jax_cache_cpu, so the workers share nothing
+    env["JAX_COMPILATION_CACHE_DIR"] = str(cache_dir)
 
     procs = [subprocess.Popen(
         [sys.executable, WORKER, coord, "2", str(p)] + extra_args,
@@ -63,8 +67,8 @@ def _run_workers(extra_args, timeout_s=570):
 
 
 @pytest.mark.timeout(600)
-def test_two_process_psum():
-    outs = _run_workers([])
+def test_two_process_psum(tmp_path):
+    outs = _run_workers([], tmp_path / "jax_cache")
     for _, out, _ in outs:
         assert "PSUM" in out, out
     # both workers must agree on the reduced value
@@ -73,12 +77,12 @@ def test_two_process_psum():
 
 
 @pytest.mark.timeout(900)
-def test_two_process_sharded_train_step():
+def test_two_process_sharded_train_step(tmp_path):
     """The PRODUCT data-parallel train step (make_sharded_train_step)
     runs across 2 OS processes on a global 4-device mesh: params
     replicated, batch sharded, gradients pmean'd over DCN-equivalent
     process boundaries. Both processes must report the identical loss."""
-    outs = _run_workers(["--train"], timeout_s=870)
+    outs = _run_workers(["--train"], tmp_path / "jax_cache", timeout_s=870)
     vals = []
     for _, out, _ in outs:
         assert "TRAINLOSS" in out, out

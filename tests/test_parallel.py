@@ -1,6 +1,7 @@
 """Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -65,6 +66,7 @@ def test_shard_batch_rejects_global_img_idx():
         raise AssertionError("global img_idx not rejected")
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_shardwise_oracle():
     """The sharded step must equal single-device computation on identical
     data: per-shard losses/grads computed one shard at a time on one

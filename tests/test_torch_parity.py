@@ -27,6 +27,8 @@ from lang2seg_tpu.engine.train_state import create_model, init_params  # noqa: E
 from lang2seg_tpu.models.network import Lang2Seg  # noqa: E402
 from tests.test_network import tiny_config  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 A = 12  # anchors per cell: scales (4,8,16,32) x ratios (0.5,1,2)
 
 
@@ -272,6 +274,296 @@ def test_full_network_forward_parity(nets, rng):
         ref_mask = np.stack([tm[i, c] for i, c in enumerate([3, 7, 1])])
         np.testing.assert_allclose(np.asarray(j_mask)[0], ref_mask,
                                    rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Train-step parity: losses (network.py:357-424 semantics) and one SGD step
+# (train_val.py:188-207 per-group structure) on identical injected targets.
+# ---------------------------------------------------------------------------
+
+
+def _train_cfg():
+    cfg = tiny_config()
+    cfg.model.num_filters = 1
+    cfg.model.normalize_response = False
+    cfg.model.word_drop_out = 0.0         # no dropout: deterministic parity
+    cfg.train.grad_clip_norm = 0.0
+    cfg.train.learning_rate = 1e-5
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def train_nets():
+    cfg = _train_cfg()
+    torch.manual_seed(1)
+    tnet = TRefNet(vocab=cfg.model.vocab_size)
+    for p in tnet.parameters():
+        if p.ndim > 1:
+            tnn.init.normal_(p, std=0.02)
+    for mod in tnet.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            mod.running_var.fill_(1.0)
+            mod.running_mean.zero_()
+    tnet.eval()                           # all BN frozen (resnet_v1.py:284-304)
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    converted = convert.convert_torch_state_dict(sd, cfg)
+    model = create_model(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    params = tolerant_restore_params(params, converted)
+    return cfg, tnet, model, params
+
+
+def _freeze_torch(tnet):
+    """requires_grad structure of the reference res101 solver: conv1, bn1,
+    layer1 (FIXED_BLOCKS=1) and every BatchNorm frozen
+    (resnet_v1.py:284-304,325-354)."""
+    for mod in [tnet.resnet.conv1, tnet.resnet.bn1, tnet.resnet.layer1]:
+        for p in mod.parameters():
+            p.requires_grad = False
+    for mod in tnet.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            for p in mod.parameters():
+                p.requires_grad = False
+
+
+def _torch_param_groups(tnet, lr, weight_decay=1e-4, double_bias=False,
+                        bias_decay=False):
+    """train_val.py:188-207 (else-branch): 10x LR for rnn_encoder /
+    dynamic_fc / response params; bias LR x(DOUBLE_BIAS+1), no decay."""
+    groups = []
+    for key, value in dict(tnet.named_parameters()).items():
+        if not value.requires_grad:
+            continue
+        lang = ("rnn_encoder" in key or "dynamic_fc" in key
+                or "response" in key)
+        mult = 10.0 if lang else 1.0
+        if "bias" in key:
+            groups.append({"params": [value],
+                           "lr": lr * (double_bias + 1) * mult,
+                           "weight_decay": bias_decay and weight_decay or 0})
+        else:
+            groups.append({"params": [value], "lr": lr * mult,
+                           "weight_decay": weight_decay})
+    return groups
+
+
+def _t_smooth_l1(pred, target, in_w, out_w, sigma, dims):
+    """Reference _smooth_l1_loss (network.py:357-370) verbatim."""
+    s2 = sigma ** 2
+    diff = in_w * (pred - target)
+    a = torch.abs(diff)
+    sign = (a < 1.0 / s2).detach().float()
+    per = torch.pow(diff, 2) * (s2 / 2.0) * sign + \
+        (a - 0.5 / s2) * (1.0 - sign)
+    out = out_w * per
+    for d in sorted(dims, reverse=True):
+        out = out.sum(d)
+    return out.mean()
+
+
+def _make_targets(cfg, fh, fw, rng):
+    """Fixed anchor/ROI targets for ONE expression, reference layouts:
+    anchor labels {-1,0,1} with 1/Nexamples outside weights
+    (anchor_target_layer.py:120-139), R sampled rois with the first F fg
+    (proposal_target_layer.py:149-204)."""
+    n = fh * fw * A
+    R, F, S = 8, 2, cfg.model.mask_size
+    labels = -np.ones(n, np.int32)
+    sel = rng.choice(n, 32, replace=False)
+    labels[sel[:8]] = 1
+    labels[sel[8:]] = 0
+    bt = np.zeros((n, 4), np.float32)
+    bt[sel[:8]] = rng.randn(8, 4).astype(np.float32) * 0.2
+    in_w = (labels == 1).astype(np.float32)
+    out_w = np.where(labels >= 0, 1.0 / 32.0, 0.0).astype(np.float32)
+
+    h, w = cfg.data.canvas_h, cfg.data.canvas_w
+    x1 = rng.uniform(0, w * 0.5, R).astype(np.float32)
+    y1 = rng.uniform(0, h * 0.5, R).astype(np.float32)
+    rois = np.stack([x1, y1,
+                     x1 + rng.uniform(16, w * 0.4, R).astype(np.float32),
+                     y1 + rng.uniform(16, h * 0.4, R).astype(np.float32)],
+                    1)
+    rlab = np.zeros(R, np.int32)
+    rlab[:F] = rng.randint(1, cfg.model.num_classes, F)
+    rbt = np.zeros((R, 4), np.float32)
+    rbt[:F] = rng.randn(F, 4).astype(np.float32) * 0.3
+    rbw = (rlab > 0).astype(np.float32)
+    mt = (rng.rand(F, S, S) > 0.5).astype(np.float32)
+    mw = np.ones(F, np.float32)
+    return dict(a_labels=labels, a_bt=bt, a_in=in_w, a_out=out_w,
+                rois=rois, r_labels=rlab, r_bt=rbt, r_bw=rbw,
+                m_t=mt, m_w=mw)
+
+
+def _torch_losses_one(cfg, tnet, gated_e, tg):
+    """Reference _add_losses (network.py:372-424) for one expression on
+    injected targets, incl. the class-expanded bbox layout
+    (proposal_target_layer.py:109-124)."""
+    nc = cfg.model.num_classes
+    t_cls, t_box = tnet.rpn(gated_e)                  # (1,2A,h,w),(1,4A,h,w)
+    fh, fw = t_cls.shape[2], t_cls.shape[3]
+    # flatten to the (h, w, a) anchor ordering used by shifted_anchors
+    cls_flat = t_cls.reshape(2, A, fh, fw).permute(2, 3, 1, 0).reshape(-1, 2)
+    box_flat = t_box.reshape(A, 4, fh, fw).permute(2, 3, 0, 1).reshape(-1, 4)
+
+    lab = torch.from_numpy(tg["a_labels"].astype(np.int64))
+    sel = (lab != -1).nonzero().view(-1)
+    rpn_ce = F.cross_entropy(cls_flat[sel], lab[sel])
+    rpn_box = _t_smooth_l1(
+        box_flat, torch.from_numpy(tg["a_bt"]),
+        torch.from_numpy(tg["a_in"])[:, None],
+        torch.from_numpy(tg["a_out"])[:, None], sigma=3.0, dims=[0, 1])
+
+    crops = tnet.crop(gated_e, torch.from_numpy(tg["rois"]))
+    score, bbox, fc7 = tnet.heads(crops)              # (R,81),(R,324)
+    rlab = torch.from_numpy(tg["r_labels"].astype(np.int64))
+    ce = F.cross_entropy(score, rlab)
+    # class-expanded targets/weights (reference layout)
+    R = tg["rois"].shape[0]
+    bt_exp = torch.zeros(R, 4 * nc)
+    w_exp = torch.zeros(R, 4 * nc)
+    for i in range(R):
+        c = int(tg["r_labels"][i])
+        if tg["r_bw"][i] > 0:
+            bt_exp[i, 4 * c:4 * c + 4] = torch.from_numpy(tg["r_bt"][i])
+            w_exp[i, 4 * c:4 * c + 4] = 1.0
+    loss_box = _t_smooth_l1(bbox, bt_exp, w_exp, w_exp, sigma=1.0, dims=[1])
+
+    F_fg = tg["m_t"].shape[0]
+    # reference applies BCE-with-logits on the gathered class channel
+    x = tnet.mask_pred_net(F.relu(tnet.mask_up_sampling(fc7[:F_fg])))
+    mg = torch.stack([x[i, int(tg["r_labels"][i])] for i in range(F_fg)])
+    loss_mask = F.binary_cross_entropy_with_logits(
+        mg, torch.from_numpy(tg["m_t"]))
+    return {"rpn_cross_entropy": rpn_ce, "rpn_loss_box": rpn_box,
+            "cross_entropy": ce, "loss_box": loss_box,
+            "loss_mask": loss_mask}
+
+
+def test_train_step_parity(train_nets, rng):
+    """Losses, gradients-through-SGD, and freezing must match the torch
+    reimplementation of the reference train semantics on an identical
+    batch with identical injected targets."""
+    from lang2seg_tpu.engine.optimizer import (build_optimizer,
+                                               merge_params,
+                                               partition_params)
+    from lang2seg_tpu.ops.targets import AnchorTargets, ProposalTargets
+    import optax
+
+    cfg, tnet, model, params = train_nets
+    images, labels, lengths = _rand_inputs(cfg, rng)
+    fh, fw = cfg.data.canvas_h // 16, cfg.data.canvas_w // 16
+    e = labels.shape[0]
+    tgs = [_make_targets(cfg, fh, fw, rng) for _ in range(e)]
+
+    # ---- torch: reference per-sentence losses, mean over the batch ----
+    _freeze_torch(tnet)
+    opt = torch.optim.SGD(
+        _torch_param_groups(tnet, cfg.train.learning_rate),
+        momentum=cfg.train.momentum)
+    sd_before = {k: v.detach().clone()
+                 for k, v in tnet.state_dict().items()}
+    t_img = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    t_conv = tnet.resnet.head(t_img)
+    t_hidden = tnet.encode(torch.from_numpy(labels.astype(np.int64)),
+                           lengths)
+    t_gated, _ = tnet.condition(t_conv, t_hidden)
+    t_losses = [_torch_losses_one(cfg, tnet, t_gated[i:i + 1], tgs[i])
+                for i in range(e)]
+    t_total = sum(sum(d.values()) for d in t_losses) / e
+    opt.zero_grad()
+    t_total.backward()
+    opt.step()
+
+    # ---- jax: the product train_forward with injected targets ----
+    S = cfg.model.mask_size
+    at = AnchorTargets(
+        labels=jnp.asarray(np.stack([t["a_labels"] for t in tgs])),
+        bbox_targets=jnp.asarray(np.stack([t["a_bt"] for t in tgs])),
+        bbox_inside_w=jnp.asarray(np.stack([t["a_in"] for t in tgs])),
+        bbox_outside_w=jnp.asarray(np.stack([t["a_out"] for t in tgs])))
+    pt = ProposalTargets(
+        rois=jnp.asarray(np.stack([t["rois"] for t in tgs])),
+        labels=jnp.asarray(np.stack([t["r_labels"] for t in tgs])),
+        bbox_targets=jnp.asarray(np.stack([t["r_bt"] for t in tgs])),
+        bbox_weight=jnp.asarray(np.stack([t["r_bw"] for t in tgs])),
+        mask_targets=jnp.asarray(np.stack([t["m_t"] for t in tgs])),
+        mask_weight=jnp.asarray(np.stack([t["m_w"] for t in tgs])),
+        roi_valid=jnp.ones((e, tgs[0]["rois"].shape[0]), bool))
+
+    h, w = cfg.data.canvas_h, cfg.data.canvas_w
+    batch = {
+        "images": jnp.asarray(images),
+        "im_hw": jnp.asarray([[h, w]], jnp.float32),
+        "labels": jnp.asarray(labels),
+        "img_idx": jnp.zeros((e,), jnp.int32),
+        "gt_boxes": jnp.asarray(
+            np.tile(np.asarray([[10.0, 10.0, 60.0, 60.0, 1.0]],
+                               np.float32), (e, 1))[:, None]),
+        "gt_valid": jnp.ones((e, 1), bool),
+        "gt_masks": jnp.zeros((e, 1, h, w), jnp.uint8),
+    }
+
+    trainable, frozen = partition_params(params, cfg)
+    tx = build_optimizer(trainable, cfg)
+    opt_state = tx.init(trainable)
+
+    def loss_fn(tr):
+        losses = model.apply(
+            {"params": merge_params(tr, frozen)}, batch, (at, pt),
+            rngs={"dropout": jax.random.PRNGKey(1),
+                  "sampling": jax.random.PRNGKey(2)},
+            method=Lang2Seg.train_forward)
+        return losses["total_loss"], losses
+
+    with jax.default_matmul_precision("float32"):
+        grads, j_losses = jax.grad(loss_fn, has_aux=True)(trainable)
+        updates, _ = tx.update(grads, opt_state, trainable)
+        new_params = merge_params(optax.apply_updates(trainable, updates),
+                                  frozen)
+
+    # ---- 1) all five loss values match (batch mean vs torch mean) ----
+    for k in ["rpn_cross_entropy", "rpn_loss_box", "cross_entropy",
+              "loss_box", "loss_mask"]:
+        t_val = float(sum(d[k] for d in t_losses) / e)
+        j_val = float(j_losses[k])
+        assert abs(j_val - t_val) <= 2e-3 * max(1.0, abs(t_val)), \
+            f"{k}: jax {j_val} vs torch {t_val}"
+    assert abs(float(j_losses["total_loss"]) - float(t_total)) <= 5e-3
+
+    # ---- 2) one SGD step: trainable deltas match at fp32 tolerance ----
+    sd_after = {k: v.detach().clone() for k, v in tnet.state_dict().items()}
+    d_torch_tree = convert.convert_torch_state_dict(
+        {k: (sd_after[k] - sd_before[k]).numpy() for k in sd_after}, cfg)
+
+    from flax.traverse_util import flatten_dict
+    from lang2seg_tpu.engine.optimizer import param_multipliers
+    old_f = flatten_dict(params)
+    new_f = flatten_dict(new_params)
+    dt_f = flatten_dict(d_torch_tree)
+    mults_f = flatten_dict(param_multipliers(params, cfg))
+
+    checked = 0
+    for key, d_t in dt_f.items():
+        if key not in old_f:
+            continue
+        d_j = np.asarray(new_f[key]) - np.asarray(old_f[key])
+        d_t = np.asarray(d_t)
+        if mults_f[key] == 0.0:
+            # frozen: bit-identical on our side, untouched on torch's
+            assert np.array_equal(np.asarray(new_f[key]),
+                                  np.asarray(old_f[key])), key
+            assert np.all(d_t == 0), key
+            continue
+        denom = np.linalg.norm(d_t)
+        if denom == 0:
+            assert np.linalg.norm(d_j) <= 1e-9, key
+            continue
+        rel = np.linalg.norm(d_j - d_t) / denom
+        assert rel <= 2e-2, f"{'/'.join(key)}: rel delta err {rel}"
+        checked += 1
+    assert checked >= 30   # the comparison actually covered the net
 
 
 def test_proposal_stage_parity(nets, rng):

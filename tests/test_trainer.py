@@ -30,6 +30,7 @@ def env(tmp_path_factory):
     return cfg, jp, hp, root
 
 
+@pytest.mark.slow
 def test_train_snapshot_resume(env, tmp_path):
     cfg, jp, hp, root = env
     out_dir = str(tmp_path / "run")
@@ -51,6 +52,7 @@ def test_train_snapshot_resume(env, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_3"))
 
 
+@pytest.mark.slow
 def test_train_data_parallel_snapshot_resume(env, tmp_path):
     """Production DP path: Trainer with cfg.parallel.num_data=8 builds the
     shard_map step, the loader emits 8 self-contained per-device blocks,
