@@ -30,6 +30,11 @@ def build_parser():
     p.add_argument("--ckpt-iter", type=int, default=None,
                    help="snapshot iter (default: newest)")
     p.add_argument("--max-sents", type=int, default=32)
+    p.add_argument("--sent-buckets", type=int, nargs="*",
+                   default=[8, 16, 32],
+                   help="pad each image to the smallest fitting bucket "
+                        "(one compile per bucket) instead of max-sents; "
+                        "pass nothing after the flag to disable")
     p.add_argument("--cfg", default=None)
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     return p
@@ -74,7 +79,10 @@ def main(argv=None):
     evaluator = Evaluator(model, cfg)
     for split in args.splits:
         res = evaluator.eval_split(
-            state.params, loader.iter_test_batches(split, args.max_sents),
+            state.params,
+            loader.iter_test_batches(
+                split, args.max_sents,
+                buckets=tuple(args.sent_buckets) or None),
             verbose=True)
         line = (f"{tag} {args.variant}_{args.id} iter={it} split={split} "
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(res.items())))

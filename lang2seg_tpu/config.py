@@ -163,9 +163,24 @@ class ModelConfig:
     # shifted window reads cost more HBM than the MXU tiling saves); kept
     # as a documented alternative, off by default.
     tail_matmul: bool = False
+    # both bi-LSTM directions in one lax.scan (halves the sequential
+    # chain; models/lang_encoder.py RNNEncoder.fused_bidir). Measured
+    # NEUTRAL inside the fused train step on the r3 chip (71.6 vs 71.8
+    # expr/s, experiments/ablate_r3.py) — kept on: exact-equivalent and
+    # strictly less serial latency.
+    fused_bidir_encoder: bool = True
+    # mask-head deconv lowered as 1x1-matmul + depth-to-space (exact for
+    # the non-overlapping 2x2/stride-2 kernel; models/heads.py
+    # _Upsample2x). Also measured neutral in-step (the 9.3ms standalone
+    # attribution was dispatch/layout cost the fused step already hides).
+    mask_up_matmul: bool = True
     # conv1 stem evaluated via the lossless 2x2 space-to-depth re-layout
     # (models/resnet.py Conv1): same (7,7,3,64) parameter, stride-1 4x4
-    # conv over a (H/2, W/2, 12) input that the MXU can tile
+    # conv over a (H/2, W/2, 12) input. Measured NEUTRAL-to-slower on
+    # this chip (69.5 vs 69.8 expr/s in-step; standalone conv1 fwd 4.2ms
+    # vs 2.26ms plain — XLA's stride-2 stem lowering is already fine
+    # here), so off by default; kept as the documented re-layout for
+    # stems that do bottleneck.
     head_s2d: bool = False
     # ROI-tail as one large mosaic image (8-px pitch, zero gaps re-zeroed
     # before each 3x3 conv — math exactly equals per-crop convs; see

@@ -319,11 +319,18 @@ class GtBatchLoader(Loader):
         return {"cap_labels": cap, "cap_masks": mask}
 
     def get_test_batch(self, split: str,
-                       max_sents: Optional[int] = None
+                       max_sents: Optional[int] = None,
+                       buckets: Optional[Tuple[int, ...]] = None
                        ) -> Dict[str, np.ndarray]:
         """One image with ALL its sentences of the split, padded to
         max_sents slots with sent_valid (reference getTestBatch,
-        gt_mrcn_loader.py:633)."""
+        gt_mrcn_loader.py:633).
+
+        `buckets` (e.g. (8, 16, 32)) pads to the SMALLEST bucket that
+        fits instead of a fixed max_sents: test_forward computes every
+        padded slot, and RefCOCO averages ~8-10 sentences/image, so a
+        fixed 32-slot pad wastes ~3x eval compute. One jit specialization
+        per bucket size (compiled once each)."""
         d = self.cfg.data
         img_ids, wrapped = self._next_image_ids(split, 1)
         rec = self.Images[img_ids[0]]
@@ -337,7 +344,11 @@ class GtBatchLoader(Loader):
             for sid in ref["sent_ids"]:
                 triples.append((rid, sid))
         s_real = len(triples)
-        s_pad = max_sents or s_real
+        if buckets:
+            fitting = [b for b in sorted(buckets) if b >= s_real]
+            s_pad = fitting[0] if fitting else max(buckets)
+        else:
+            s_pad = max_sents or s_real
         assert s_real > 0
 
         labels = np.zeros((s_pad, self.max_length), np.int32)
@@ -388,12 +399,14 @@ class GtBatchLoader(Loader):
                    "gd_att_wds": [self.Refs[rid]["att_wds"]
                                   for rid in rids]}
 
-    def iter_test_batches(self, split: str, max_sents: int = 32):
+    def iter_test_batches(self, split: str, max_sents: int = 32,
+                          buckets: Optional[Tuple[int, ...]] = None):
         """Yield every image of the split exactly once."""
         self.reset_iterator(split)
         n = len(self.split_ix[split])
         for _ in range(n):
-            yield self.get_test_batch(split, max_sents=max_sents)
+            yield self.get_test_batch(split, max_sents=max_sents,
+                                      buckets=buckets)
 
 
 class CycleBatchLoader(GtBatchLoader):

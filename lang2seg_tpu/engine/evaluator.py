@@ -84,9 +84,39 @@ class Evaluator:
                 packed=packed)
             return sel, cls, inter, union
 
+        self._eval_all_core = eval_all
         self._eval_all = jax.jit(functools.partial(eval_all, packed=False))
         self._eval_all_packed = jax.jit(functools.partial(eval_all,
                                                           packed=True))
+        self._mesh_fns = {}
+
+    def _mesh_eval_fn(self, mesh, packed: bool, num_sents: int):
+        """One jit: N images evaluated device-parallel over the mesh's
+        'data' axis (SURVEY §2.11 charter — the reference is single-GPU
+        everywhere, so multi-device eval is our own design). Each device
+        runs the identical single-image fused eval on its own image;
+        per-image scalars ride as length-N arrays sharded like the data.
+        Cached per (packed, S) since jit specializes on shapes."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        key = (id(mesh), packed, num_sents)
+        if key in self._mesh_fns:
+            return self._mesh_fns[key]
+        core = functools.partial(self._eval_all_core, packed=packed)
+
+        def shard_fn(p, images, im_hw, labels, rng_uid, gm, scale, sh, sw,
+                     ih, iw):
+            sel, cls, inter, union = core(
+                p, images[0], im_hw[0], labels[0], rng_uid[0], gm[0],
+                scale[0], sh[0], sw[0], ih[0], iw[0])
+            return sel[None], cls[None], inter[None], union[None]
+
+        fn = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(),) + (P("data"),) * 10,
+            out_specs=(P("data"),) * 4, check_vma=False))
+        self._mesh_fns[key] = fn
+        return fn
 
     @staticmethod
     def _select_fn(rois, deltas, scores, valid, scale, ih, iw):
@@ -319,4 +349,90 @@ class Evaluator:
                 drain_one()
         while pending:
             drain_one()
+        return acc.summary()
+
+    def eval_split_mesh(self, params, batches, mesh,
+                        verbose: bool = False) -> Dict[str, float]:
+        """Device-parallel eval: images round-robined over the mesh's
+        'data' axis, one fused single-image eval per device per dispatch,
+        accumulators merged on host. The last chunk pads by repeating its
+        first image with all sentences masked invalid.
+
+        Requires the mask head + device-paste path (the host-oracle
+        fallback is inherently serial) and every image's original extent
+        to fit the (max_orig_h, max_orig_w) buffers."""
+        m = self.cfg.model
+        assert m.use_mask_head and self.device_paste, \
+            "mesh eval requires the device-paste path"
+        n = int(np.prod(mesh.devices.shape))
+        acc = SegEvalAccumulator()
+        batches = list(batches)
+        done = 0
+
+        for c0 in range(0, len(batches), n):
+            chunk = batches[c0:c0 + n]
+            valid_flags = []
+            for b in chunk:
+                sv = b.get("sent_valid")
+                valid_flags.append(
+                    np.ones(b["labels"].shape[0], bool) if sv is None
+                    else np.asarray(sv, bool))
+            while len(chunk) < n:                       # pad final chunk
+                chunk.append(chunk[0])
+                valid_flags.append(np.zeros_like(valid_flags[0]))
+
+            s = chunk[0]["labels"].shape[0]
+            assert all(b["labels"].shape[0] == s for b in chunk), \
+                "mesh eval chunk needs a uniform sentence-bucket size"
+            scales = np.asarray([float(b["im_scale"]) for b in chunk],
+                                np.float32)
+            sh = np.asarray([int(round(float(b["im_hw"][0][0])))
+                             for b in chunk], np.int32)
+            sw = np.asarray([int(round(float(b["im_hw"][0][1])))
+                             for b in chunk], np.int32)
+            ih = np.asarray([int(round(h / sc))
+                             for h, sc in zip(sh, scales)], np.int32)
+            iw = np.asarray([int(round(w / sc))
+                             for w, sc in zip(sw, scales)], np.int32)
+            assert (ih <= self.cfg.data.max_orig_h).all() and \
+                   (iw <= self.cfg.data.max_orig_w).all(), \
+                "original extents exceed the device-paste buffers"
+
+            gms = [np.asarray(b["gt_masks"]) for b in chunk]
+            packed = gms[0].shape[-1] % 8 == 0
+            if packed:
+                gms = [np.packbits(g > 0, axis=-1) for g in gms]
+            uids = []
+            for _ in chunk:
+                self._rng_uid += 1
+                uids.append(self._rng_uid)
+
+            fn = self._mesh_eval_fn(mesh, packed, s)
+            sel, cls, inter, union = fn(
+                params,
+                np.stack([np.asarray(b["images"]) for b in chunk]),
+                np.stack([np.asarray(b["im_hw"], np.float32)
+                          for b in chunk]),
+                np.stack([np.asarray(b["labels"]) for b in chunk]),
+                np.asarray(uids, np.int32), np.stack(gms),
+                scales, sh, sw, ih, iw)
+            sel = np.asarray(sel)
+            inter = np.asarray(inter)
+            union = np.asarray(union)
+
+            for d, b in enumerate(chunk[:len(batches) - c0]):
+                sv = valid_flags[d]
+                for i in range(s):
+                    if not sv[i]:
+                        continue
+                    gt_box = np.asarray(b["gt_boxes"][i, :4]) / scales[d]
+                    acc.add_detection(sel[d, i], gt_box)
+                    acc.add_segmentation_iu(int(inter[d, i]),
+                                            int(union[d, i]))
+                done += 1
+                if verbose and done % 20 == 0:
+                    ss = acc.summary()
+                    print(f"[eval-mesh] {done} images: "
+                          f"det_acc={ss['det_acc']:.4f} "
+                          f"IoU={ss['overall_iou']:.4f}")
         return acc.summary()

@@ -57,9 +57,16 @@ def init_params(model: Lang2Seg, cfg: Config, rng) -> Any:
                                         jnp.float32)
         dummy["att_valid"] = jnp.ones((1,), bool)
     p_rng, d_rng, s_rng = jax.random.split(rng, 3)
-    variables = model.init(
-        {"params": p_rng, "dropout": d_rng, "sampling": s_rng},
-        dummy, method=Lang2Seg.train_forward)
+    init_fn = functools.partial(model.init, method=Lang2Seg.train_forward)
+    if jax.default_backend() != "cpu":
+        # eager init dispatches hundreds of tiny ops; on the tunneled TPU
+        # each one is a network round trip (~minutes of init). One traced
+        # jit region brings init to a single dispatch. CPU keeps eager
+        # init (compiling the init graph on this 1-core host costs more
+        # than it saves).
+        init_fn = jax.jit(init_fn)
+    variables = init_fn(
+        {"params": p_rng, "dropout": d_rng, "sampling": s_rng}, dummy)
     return variables["params"]
 
 

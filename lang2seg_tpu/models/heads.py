@@ -54,16 +54,54 @@ class BoxHead(nn.Module):
         return cls_score, bbox_pred
 
 
+class _Upsample2x(nn.Module):
+    """The mask head's ConvTranspose2d(2048->256, 2x2, stride 2)
+    (reference resnet_v1.py:320) with a choice of lowering.
+
+    A stride-2 2x2 deconv has NO overlapping taps: every input pixel owns
+    its 2x2 output block, so the op is exactly a 1x1 "conv" to 4*features
+    channels followed by depth-to-space — one MXU matmul instead of the
+    conv_transpose lowering XLA picks (measured ~10% efficient on the
+    7x7-crop shapes: ~9.3ms of the train step for ~0.1 TFLOP). Parameter
+    is the canonical ConvTranspose (2, 2, C, F) kernel + bias either way,
+    so checkpoints/conversion are unaffected (equivalence pinned by
+    tests/test_heads_lowering.py and the torch parity harness)."""
+    features: int = 256
+    matmul: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        k = self.param("kernel", normal_init(0.01),
+                       (2, 2, c, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if not self.matmul:
+            import jax
+            y = jax.lax.conv_transpose(
+                x, k, strides=(2, 2), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + b
+        r, h, w, _ = x.shape
+        # conv_transpose tap order: out[2h+i, 2w+j, o] =
+        # sum_c x[h, w, c] k[1-i, 1-j, c, o] (the fractionally-strided
+        # conv reads the kernel flipped)
+        y = jnp.einsum("rhwc,ijco->rhiwjo", x,
+                       k[::-1, ::-1].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = y.reshape(r, 2 * h, 2 * w, self.features)
+        return y.astype(x.dtype) + b
+
+
 class MaskHead(nn.Module):
     """ConvTranspose 2x2/2 -> 256 + ReLU -> 1x1 conv -> per-class mask
     logits at 14x14 (network.py:289-304)."""
     num_classes: int = 81
+    up_matmul: bool = True
 
     @nn.compact
     def __call__(self, spatial_fc7: jnp.ndarray) -> jnp.ndarray:
-        x = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
-                             kernel_init=normal_init(0.01),
-                             name="mask_up")(spatial_fc7.astype(jnp.float32))
+        x = _Upsample2x(256, matmul=self.up_matmul,
+                        name="mask_up")(spatial_fc7.astype(jnp.float32))
         x = nn.relu(x)
         return nn.Conv(self.num_classes, (1, 1), kernel_init=normal_init(0.01),
                        name="mask_pred")(x)        # (R, 14, 14, K) logits

@@ -89,7 +89,8 @@ class Lang2Seg(nn.Module):
                 word_vec_size=m.word_vec_size,
                 hidden_size=m.rnn_hidden_size,
                 bidirectional=m.bidirectional,
-                input_dropout_p=m.word_drop_out)
+                input_dropout_p=m.word_drop_out,
+                fused_bidir=m.fused_bidir_encoder)
             self.filter_gen = DynamicFilterGen(
                 c4_dim=m.c4_feat_dim, num_filters=m.num_filters,
                 gate=m.response_gate, normalize=m.normalize_response,
@@ -98,7 +99,8 @@ class Lang2Seg(nn.Module):
         self.rpn_head = RPNHead(num_anchors=num_anchors)
         self.box_head = BoxHead(num_classes=m.num_classes)
         if m.use_mask_head:
-            self.mask_head = MaskHead(num_classes=m.num_classes)
+            self.mask_head = MaskHead(num_classes=m.num_classes,
+                                      up_matmul=m.mask_up_matmul)
         if m.use_caption_loss:
             from lang2seg_tpu.models.caption_zoo import setup_captioner
             self.captioner = setup_captioner(m)

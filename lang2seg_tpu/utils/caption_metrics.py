@@ -9,9 +9,11 @@ cosine, n=1..4, sigma=6 length gaussian), METEOR.
 
 Implementation notes: the reference shells out to Stanford's PTB
 tokenizer jar and the METEOR 1.5 jar; we implement the PTB tokenization
-rules in Python and METEOR as the exact+stem alignment variant (no
-WordNet synonym/paraphrase tables, which need external data — scores are
-tolerance-bounded vs METEOR 1.5, the other three are algorithm-exact).
+rules in Python and METEOR as the exact+stem alignment variant, with an
+OPTIONAL synonymy stage: point LANG2SEG_METEOR_SYNSETS at a synonym-set
+file (or pass meteor(synonyms=load_synonyms(path))) to enable METEOR
+1.5's third module. Without synonym data the METEOR score is a
+documented lower bound; the other three metrics are algorithm-exact.
 """
 
 from __future__ import annotations
@@ -172,23 +174,61 @@ def _porter_light(w: str) -> str:
     return w
 
 
+def load_synonyms(path: str) -> Dict[str, frozenset]:
+    """Load a synonym-set file for METEOR's synonymy stage: one synonym
+    group per line, words space-separated (the data equivalent of METEOR
+    1.5's WordNet synsets module, meteor-1.5/data/english.synsets — the
+    WordNet data itself is not shipped in this image; point
+    LANG2SEG_METEOR_SYNSETS at a file to enable the stage).
+    Returns word -> frozenset of group ids (a word may appear in several
+    groups)."""
+    groups: Dict[str, set] = defaultdict(set)
+    with open(path) as f:
+        for gid, line in enumerate(f):
+            for w in line.split():
+                groups[w.lower()].add(gid)
+    return {w: frozenset(g) for w, g in groups.items()}
+
+
+def _env_synonyms():
+    import os
+    p = os.environ.get("LANG2SEG_METEOR_SYNSETS")
+    if p and os.path.exists(p):
+        return load_synonyms(p)
+    return None
+
+
 def meteor(candidates: List[List[str]],
            references: List[List[List[str]]], alpha: float = 0.9,
-           beta: float = 3.0, gamma: float = 0.5) -> float:
-    """METEOR with exact + stem matching stages (no WordNet data).
-    Per-sentence max over references, corpus mean."""
+           beta: float = 3.0, gamma: float = 0.5,
+           synonyms: Dict[str, frozenset] = None) -> float:
+    """METEOR with exact + stem (+ optional synonymy) matching stages.
+    Per-sentence max over references, corpus mean. `synonyms` (see
+    load_synonyms) enables the reference jar's third stage
+    (meteor/meteor.py drives METEOR 1.5 with exact/stem/synonym);
+    without data the score is a documented lower bound."""
+    if synonyms is None:
+        synonyms = _env_synonyms()
+    stages = [
+        lambda a, b: a == b,
+        lambda a, b: _porter_light(a) == _porter_light(b),
+    ]
+    if synonyms:
+        empty = frozenset()
+        stages.append(lambda a, b: bool(synonyms.get(a, empty)
+                                        & synonyms.get(b, empty)))
+
     def align(cand, ref):
         matches: List[Tuple[int, int]] = []
         used_r = set()
-        # stage 1 exact, stage 2 stem
-        for stage in (lambda w: w, _porter_light):
+        for stage in stages:
             for i, cw in enumerate(cand):
                 if any(m[0] == i for m in matches):
                     continue
                 for j, rw in enumerate(ref):
                     if j in used_r:
                         continue
-                    if stage(cw) == stage(rw):
+                    if stage(cw, rw):
                         matches.append((i, j))
                         used_r.add(j)
                         break

@@ -86,3 +86,24 @@ def test_ref_evaluation_facade():
         assert k in out
     assert 0 <= out["Bleu_1"] <= 1
     assert 1 in ev.refToEval and 2 in ev.refToEval
+
+
+def test_meteor_synonym_stage(tmp_path):
+    """The optional synonymy stage (load_synonyms + meteor(synonyms=...))
+    must match words that share a synset — METEOR 1.5's third module
+    (reference evaluation/meteor/meteor.py) — and raise the score for
+    synonym-only overlaps."""
+    from lang2seg_tpu.utils.caption_metrics import load_synonyms, meteor
+    p = tmp_path / "synsets.txt"
+    p.write_text("big large huge\nsmall tiny little\n")
+    syn = load_synonyms(str(p))
+    assert syn["big"] & syn["large"]
+    assert not (syn["big"] & syn["tiny"])
+
+    cand = [["the", "large", "dog"]]
+    refs = [[["the", "big", "dog"]]]
+    base = meteor(cand, refs)
+    with_syn = meteor(cand, refs, synonyms=syn)
+    assert with_syn > base
+    # exact matches unaffected
+    assert meteor(refs[0], refs, synonyms=syn) == meteor(refs[0], refs)

@@ -197,3 +197,26 @@ def test_sentence_coverage_over_epochs(dataset):
         seen.update(int(u) for u in b["expr_uid"])
         epochs += int(b["wrapped"])
         assert epochs <= 12, f"missing after 12 epochs: {want - seen}"
+
+
+def test_test_batch_sentence_buckets(dataset):
+    """buckets=(2, 4, 8): each test image pads to the smallest fitting
+    bucket instead of a fixed max_sents — the eval loop then only pays
+    for ~the real sentence count (one jit specialization per bucket)."""
+    root, jp, hp = dataset
+    loader = GtBatchLoader(jp, hp, make_cfg(root))
+    sizes = set()
+    for b in loader.iter_test_batches("val", buckets=(2, 4, 8)):
+        s = b["labels"].shape[0]
+        n_real = int(b["sent_valid"].sum())
+        assert s in (2, 4, 8)
+        assert s >= n_real
+        # smallest fitting bucket
+        assert s == min(x for x in (2, 4, 8) if x >= n_real) or s == 8
+        assert b["gt_boxes"].shape[0] == s
+        assert b["gt_masks"].shape[0] == s
+        sizes.add(s)
+    # fixed-pad path unchanged
+    loader.reset_iterator("val")
+    b = loader.get_test_batch("val", max_sents=8)
+    assert b["labels"].shape[0] == 8

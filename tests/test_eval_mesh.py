@@ -1,0 +1,46 @@
+"""Device-parallel evaluation on the 8-device virtual CPU mesh must
+reproduce the single-device eval protocol exactly (same fused per-image
+eval, images round-robined over the 'data' axis, host-merged
+accumulators). The reference has no multi-device anything (SURVEY §2.11);
+this pins our own design's equivalence to the serial protocol
+(model/test.py:185-450 semantics)."""
+
+import numpy as np
+import pytest
+
+from lang2seg_tpu.data.synthetic import synthetic_batch
+from lang2seg_tpu.engine.evaluator import Evaluator
+from lang2seg_tpu.engine.train_state import create_train_state
+from lang2seg_tpu.parallel.mesh import make_mesh
+from tests.test_network import tiny_config
+
+
+def _eval_batches(cfg, n):
+    out = []
+    for s in range(n):
+        b = synthetic_batch(cfg, 1, 2, seed=s)
+        batch = {"images": b["images"], "im_hw": b["im_hw"],
+                 "labels": b["labels"], "gt_boxes": b["gt_boxes"],
+                 "gt_masks": b["gt_masks"], "im_scale": np.float32(1.0)}
+        out.append(batch)
+    # exercise the sentence-validity mask through the mesh path too
+    out[1]["sent_valid"] = np.array([True, False])
+    return out
+
+
+def test_mesh_eval_matches_single_device():
+    cfg = tiny_config()
+    cfg.data.max_orig_h = cfg.data.canvas_h
+    cfg.data.max_orig_w = cfg.data.canvas_w
+    model, tx, state = create_train_state(cfg)
+    ev = Evaluator(model, cfg, device_paste=True)
+
+    batches = _eval_batches(cfg, 5)   # 5 images on 8 devices: pads 3
+    ref = ev.eval_split(state.params, [dict(b) for b in batches])
+    mesh = make_mesh(8)
+    got = ev.eval_split_mesh(state.params, [dict(b) for b in batches],
+                             mesh)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12), \
+            (k, got[k], ref[k])
