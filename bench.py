@@ -144,9 +144,14 @@ def _measure_eval():
         ev.eval_image(params, first, SegEvalAccumulator(),
                       sent_valid=first["sent_valid"])
 
+    # batched dispatch: 4 same-bucket images per jit call — the
+    # per-dispatch round trip dominates eval on the tunneled link
+    ev.eval_split(params, batches, images_per_dispatch=4)  # warm chunks
+
     iters = 3
     t0 = time.perf_counter()
-    summary = ev.eval_split(params, batches * iters)
+    summary = ev.eval_split(params, batches * iters,
+                            images_per_dispatch=4)
     dt = time.perf_counter() - t0
     assert summary["overall_iou"] >= 0.0
     n = iters * sum(real_counts)

@@ -118,6 +118,78 @@ class Evaluator:
         self._mesh_fns[key] = fn
         return fn
 
+    def _batched_eval_fn(self, packed: bool, n: int, num_sents: int):
+        """Single-device N-image fused eval (vmap over the per-image
+        core): on the tunneled link each dispatch costs a full round
+        trip, so batching n same-bucket images into ONE jit call
+        amortizes dispatch+transfer n-fold. Cached per (packed, n, S)."""
+        key = ("vmap", packed, n, num_sents)
+        if key in self._mesh_fns:
+            return self._mesh_fns[key]
+        core = functools.partial(self._eval_all_core, packed=packed)
+
+        def fn(p, images, im_hw, labels, rng_uid, gm, scale, sh, sw,
+               ih, iw):
+            return jax.vmap(
+                lambda *a: core(p, *a))(images, im_hw, labels, rng_uid,
+                                        gm, scale, sh, sw, ih, iw)
+
+        jfn = jax.jit(fn)
+        self._mesh_fns[key] = jfn
+        return jfn
+
+    def _dispatch_chunk(self, params, chunk, valid_flags):
+        """Issue one fused multi-image dispatch (no blocking readback).
+        All images in `chunk` must share the sentence-bucket size."""
+        s = chunk[0]["labels"].shape[0]
+        assert all(b["labels"].shape[0] == s for b in chunk)
+        scales = np.asarray([float(b["im_scale"]) for b in chunk],
+                            np.float32)
+        sh = np.asarray([int(round(float(b["im_hw"][0][0])))
+                         for b in chunk], np.int32)
+        sw = np.asarray([int(round(float(b["im_hw"][0][1])))
+                         for b in chunk], np.int32)
+        ih = np.asarray([int(round(h / sc))
+                         for h, sc in zip(sh, scales)], np.int32)
+        iw = np.asarray([int(round(w / sc))
+                         for w, sc in zip(sw, scales)], np.int32)
+        assert (ih <= self.cfg.data.max_orig_h).all() and \
+               (iw <= self.cfg.data.max_orig_w).all()
+        gms = [np.asarray(b["gt_masks"]) for b in chunk]
+        packed = gms[0].shape[-1] % 8 == 0
+        if packed:
+            gms = [np.packbits(g > 0, axis=-1) for g in gms]
+        uids = []
+        for _ in chunk:
+            self._rng_uid += 1
+            uids.append(self._rng_uid)
+        fn = self._batched_eval_fn(packed, len(chunk), s)
+        sel, cls, inter, union = fn(
+            params,
+            np.stack([np.asarray(b["images"]) for b in chunk]),
+            np.stack([np.asarray(b["im_hw"], np.float32) for b in chunk]),
+            np.stack([np.asarray(b["labels"]) for b in chunk]),
+            np.asarray(uids, np.int32), np.stack(gms),
+            scales, sh, sw, ih, iw)
+        return {"chunk": chunk, "valid_flags": valid_flags,
+                "scales": scales, "sel": sel, "inter": inter,
+                "union": union}
+
+    def _drain_chunk(self, rec, acc: SegEvalAccumulator) -> int:
+        sel = np.asarray(rec["sel"])
+        inter = np.asarray(rec["inter"])
+        union = np.asarray(rec["union"])
+        for d, b in enumerate(rec["chunk"]):
+            sv = rec["valid_flags"][d]
+            for i in range(sel.shape[1]):
+                if not sv[i]:
+                    continue
+                gt_box = np.asarray(b["gt_boxes"][i, :4]) / rec["scales"][d]
+                acc.add_detection(sel[d, i], gt_box)
+                acc.add_segmentation_iu(int(inter[d, i]),
+                                        int(union[d, i]))
+        return len(rec["chunk"])
+
     @staticmethod
     def _select_fn(rois, deltas, scores, valid, scale, ih, iw):
         """Device-side batched argmax protocol over all S sentences at
@@ -323,30 +395,76 @@ class Evaluator:
 
     def eval_split(self, params, batches: Iterable[Dict[str, np.ndarray]],
                    verbose: bool = False,
-                   pipeline_depth: int = 4) -> Dict[str, float]:
-        """Software-pipelined eval: keep up to `pipeline_depth` images
-        dispatched ahead of the drain point so readbacks and host->device
-        transfers overlap device compute (each blocking readback on the
-        tunneled device costs a full round trip)."""
+                   pipeline_depth: int = 4,
+                   images_per_dispatch: int = 1) -> Dict[str, float]:
+        """Software-pipelined eval: keep up to `pipeline_depth` dispatches
+        ahead of the drain point so readbacks and host->device transfers
+        overlap device compute (each blocking readback on the tunneled
+        device costs a full round trip).
+
+        images_per_dispatch > 1 additionally batches same-sentence-bucket
+        images into one fused jit call (vmapped per-image eval) —
+        amortizing the per-dispatch round trip, which dominates eval on
+        tunneled links. Requires the device-paste path; falls back to
+        per-image dispatch when unavailable."""
         from collections import deque
         acc = SegEvalAccumulator()
         pending = deque()
         bi = 0
+        n_batch = max(1, images_per_dispatch)
+        use_chunks = (n_batch > 1 and self.cfg.model.use_mask_head
+                      and self.device_paste)
+        by_bucket: Dict[int, list] = {}
 
         def drain_one():
             nonlocal bi
-            self.drain(pending.popleft(), acc)
-            bi += 1
+            rec = pending.popleft()
+            if "chunk" in rec:
+                bi += self._drain_chunk(rec, acc)
+            else:
+                self.drain(rec, acc)
+                bi += 1
             if verbose and bi % 20 == 0:
                 s = acc.summary()
                 print(f"[eval] {bi} images: det_acc={s['det_acc']:.4f} "
                       f"IoU={s['overall_iou']:.4f}")
 
+        def valid_of(b):
+            sv = b.get("sent_valid")
+            return (np.ones(b["labels"].shape[0], bool) if sv is None
+                    else np.asarray(sv, bool))
+
+        def flush(bucket):
+            group = by_bucket.pop(bucket, [])
+            if not group:
+                return
+            pending.append(self._dispatch_chunk(
+                params, [b for b, _ in group], [v for _, v in group]))
+
         for batch in batches:
-            pending.append(self.dispatch_image(
-                params, batch, sent_valid=batch.get("sent_valid")))
+            if use_chunks:
+                s = batch["labels"].shape[0]
+                fits = (int(round(float(batch["im_hw"][0][0])
+                                  / float(batch["im_scale"])))
+                        <= self.cfg.data.max_orig_h
+                        and int(round(float(batch["im_hw"][0][1])
+                                      / float(batch["im_scale"])))
+                        <= self.cfg.data.max_orig_w)
+                if fits:
+                    by_bucket.setdefault(s, []).append(
+                        (batch, valid_of(batch)))
+                    if len(by_bucket[s]) >= n_batch:
+                        flush(s)
+                else:
+                    pending.append(self.dispatch_image(
+                        params, batch, sent_valid=batch.get("sent_valid")))
+            else:
+                pending.append(self.dispatch_image(
+                    params, batch, sent_valid=batch.get("sent_valid")))
             if len(pending) >= max(1, pipeline_depth):
                 drain_one()
+        for s in list(by_bucket):
+            flush(s)
         while pending:
             drain_one()
         return acc.summary()

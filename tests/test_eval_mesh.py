@@ -44,3 +44,21 @@ def test_mesh_eval_matches_single_device():
     for k in ref:
         assert got[k] == pytest.approx(ref[k], abs=1e-12), \
             (k, got[k], ref[k])
+
+
+def test_batched_dispatch_matches_single_image():
+    """images_per_dispatch > 1 (vmapped multi-image fused eval) must give
+    byte-identical accumulator results to the per-image pipeline."""
+    cfg = tiny_config()
+    cfg.data.max_orig_h = cfg.data.canvas_h
+    cfg.data.max_orig_w = cfg.data.canvas_w
+    model, tx, state = create_train_state(cfg)
+    ev = Evaluator(model, cfg, device_paste=True)
+    batches = _eval_batches(cfg, 5)   # 5 images -> chunks of 3 + 2
+    ref = ev.eval_split(state.params, [dict(b) for b in batches])
+    got = ev.eval_split(state.params, [dict(b) for b in batches],
+                        images_per_dispatch=3)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12), \
+            (k, got[k], ref[k])

@@ -26,6 +26,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AXON = "/root/.axon_site"
 
 
+def _subprocess_env():
+    """Clean env for an accelerator subprocess: conftest forces CPU via
+    JAX_PLATFORMS/JAX_PLATFORM_NAME and points the compile cache at the
+    CPU-only dir — all of which must not leak into the TPU child."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                        "XLA_FLAGS", "JAX_COMPILATION_CACHE_DIR")}
+    env["PYTHONPATH"] = f"{REPO}:{AXON}"
+    return env
+
+
 def _accelerator_available():
     if not os.path.isdir(AXON):
         return False
@@ -33,8 +44,7 @@ def _accelerator_available():
         [sys.executable, "-c",
          "import jax; import sys; "
          "sys.exit(0 if jax.default_backend() != 'cpu' else 1)"],
-        env={**os.environ, "PYTHONPATH": f"{REPO}:{AXON}"},
-        capture_output=True, timeout=180)
+        env=_subprocess_env(), capture_output=True, timeout=180)
     return probe.returncode == 0
 
 
@@ -47,8 +57,8 @@ def test_closed_loop_learning_on_accelerator():
                                       "learn_synthetic.py"),
          "--steps", "600", "--lr", "2e-4", "--decay-at", "450",
          "--eval-every", "200", "--json"],
-        env={**os.environ, "PYTHONPATH": f"{REPO}:{AXON}"},
-        capture_output=True, text=True, timeout=1740)
+        env=_subprocess_env(), capture_output=True, text=True,
+        timeout=1740)
     assert proc.returncode == 0, proc.stderr[-2000:]
     last = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(last)
