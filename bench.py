@@ -113,7 +113,6 @@ def _measure_eval():
     from lang2seg_tpu.engine.train_state import create_model, init_params
     from lang2seg_tpu.engine.evaluator import Evaluator
     from lang2seg_tpu.data.synthetic import synthetic_batch
-    from lang2seg_tpu.utils.metrics import SegEvalAccumulator
 
     cfg = flagship_config()
     # synthetic "original" sizes run up to canvas/scale (real COCO is
@@ -138,15 +137,11 @@ def _measure_eval():
         return b
 
     batches = [make_eval_batch(s, n) for s, n in enumerate(real_counts)]
-    # warmup/compile every bucket size
-    for s_pad in sorted({b["labels"].shape[0] for b in batches}):
-        first = next(b for b in batches if b["labels"].shape[0] == s_pad)
-        ev.eval_image(params, first, SegEvalAccumulator(),
-                      sent_valid=first["sent_valid"])
-
     # batched dispatch: 4 same-bucket images per jit call — the
-    # per-dispatch round trip dominates eval on the tunneled link
-    ev.eval_split(params, batches, images_per_dispatch=4)  # warm chunks
+    # per-dispatch round trip dominates eval on the tunneled link.
+    # Partial chunks pad to the full size, so this warmup pass compiles
+    # every (4, bucket) shape the timed run will use.
+    ev.eval_split(params, batches, images_per_dispatch=4)
 
     iters = 3
     t0 = time.perf_counter()

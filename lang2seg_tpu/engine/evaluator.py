@@ -438,6 +438,14 @@ class Evaluator:
             group = by_bucket.pop(bucket, [])
             if not group:
                 return
+            # pad partial chunks to the full dispatch size with a
+            # sentences-all-invalid copy of the first image: every chunk
+            # then has the SAME (n, S) shape, so each bucket compiles
+            # exactly once (a fresh shape mid-eval costs a full XLA
+            # compile on this link)
+            while len(group) < n_batch:
+                group.append((group[0][0],
+                              np.zeros_like(group[0][1])))
             pending.append(self._dispatch_chunk(
                 params, [b for b, _ in group], [v for _, v in group]))
 
