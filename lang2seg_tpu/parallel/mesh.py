@@ -29,12 +29,19 @@ def make_mesh(num_data: Optional[int] = None,
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
+                         process_id: Optional[int] = None,
+                         shutdown_timeout_seconds: Optional[int] = None,
+                         ) -> None:
     """Multi-host (DCN) initialization: wraps jax.distributed.initialize.
     On TPU pods the arguments auto-detect from the environment; pass them
     explicitly elsewhere. Each host then loads its own data shard and the
     same shard_map train step runs data-parallel across all hosts (psum
-    rides ICI within a slice and DCN across slices)."""
+    rides ICI within a slice and DCN across slices).
+
+    shutdown_timeout_seconds: how long a terminating process waits for
+    the others at the coordination-service shutdown barrier (jax default
+    300s). Raise it when processes can skew by minutes — e.g. each
+    cold-compiling the train step on a contended host."""
     import jax.distributed
     kwargs = {}
     if coordinator_address is not None:
@@ -43,6 +50,8 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    if shutdown_timeout_seconds is not None:
+        kwargs["shutdown_timeout_seconds"] = shutdown_timeout_seconds
     jax.distributed.initialize(**kwargs)
 
 

@@ -62,8 +62,13 @@ def main():
 
     from lang2seg_tpu.parallel.mesh import (initialize_multihost, make_mesh,
                                             batch_spec)
+    # generous shutdown barrier: each worker cold-compiles the train step
+    # independently on this host's ONE core, so the first to finish can
+    # sit minutes at the exit barrier waiting for the other (the jax
+    # default 300s barrier killed both workers under compile skew)
     initialize_multihost(coordinator_address=coordinator,
-                         num_processes=num_procs, process_id=proc_id)
+                         num_processes=num_procs, process_id=proc_id,
+                         shutdown_timeout_seconds=1800)
 
     import jax
     import jax.numpy as jnp
