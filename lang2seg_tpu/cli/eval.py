@@ -35,6 +35,10 @@ def build_parser():
                    help="pad each image to the smallest fitting bucket "
                         "(one compile per bucket) instead of max-sents; "
                         "pass nothing after the flag to disable")
+    p.add_argument("--images-per-dispatch", type=int, default=1,
+                   help="fuse N same-bucket images into one jit call "
+                        "(amortizes the per-dispatch round trip on "
+                        "tunneled/remote devices; 1 = per-image)")
     p.add_argument("--cfg", default=None)
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     return p
@@ -83,7 +87,8 @@ def main(argv=None):
             loader.iter_test_batches(
                 split, args.max_sents,
                 buckets=tuple(args.sent_buckets) or None),
-            verbose=True)
+            verbose=True,
+            images_per_dispatch=args.images_per_dispatch)
         line = (f"{tag} {args.variant}_{args.id} iter={it} split={split} "
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(res.items())))
         print(line)

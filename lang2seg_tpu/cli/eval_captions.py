@@ -49,6 +49,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from lang2seg_tpu.data.loader import CycleBatchLoader
     from lang2seg_tpu.engine.checkpoint import CheckpointManager
+    from lang2seg_tpu.engine.evaluator import _host_expand_bank
     from lang2seg_tpu.engine.train_captioner import extract_caption_features
     from lang2seg_tpu.engine.train_state import create_train_state
     from lang2seg_tpu.models.captioner import Att2In2Captioner
@@ -71,6 +72,9 @@ def main(argv=None):
         for bi, batch in enumerate(loader.iter_test_batches(split)):
             if args.max_images and bi >= args.max_images:
                 break
+            # caption features gate res5 on per-sentence masks; expand
+            # the ref-deduped wire bank (cfg.data.wire_mask_bank) here
+            batch = _host_expand_bank(batch)
             dev = {k: jnp.asarray(v) for k, v in batch.items()
                    if k in ("images", "gt_masks")}
             dev["img_idx"] = jnp.zeros(

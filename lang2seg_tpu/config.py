@@ -215,6 +215,16 @@ class DataConfig:
     # the reference's float preprocessing.
     wire_uint8_images: bool = True
     wire_packed_masks: bool = True
+    # eval wire format: ship each image's GT masks as a REF-DEDUPED bank
+    # (gt_mask_bank (R, Hc, Wc) + mask_ref_idx (S,)) instead of one
+    # canvas mask per sentence slot — RefCOCO sentences share their
+    # ref's mask (~3 sentences/ref), so the bank cuts the largest
+    # remaining eval upload after the image itself. The device side
+    # expands bank -> per-sentence with an exact one-hot byte matmul
+    # (a leading-axis gather at this scale is pathological on TPU).
+    # The bank row count pads to s_pad//2 when the image's refs fit
+    # (one extra jit specialization per sentence bucket), else s_pad.
+    wire_mask_bank: bool = True
 
 
 @dataclass

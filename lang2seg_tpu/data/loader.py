@@ -353,23 +353,48 @@ class GtBatchLoader(Loader):
 
         labels = np.zeros((s_pad, self.max_length), np.int32)
         gt_boxes = np.zeros((s_pad, 5), np.float32)
-        gt_masks = np.zeros((s_pad, d.canvas_h, d.canvas_w), np.uint8)
         sent_valid = np.zeros((s_pad,), bool)
+        bank_rows: list = []                    # rid per bank row
+        row_of: Dict[int, int] = {}
+        mask_ref_idx = np.zeros((s_pad,), np.int32)
         for i, (rid, sid) in enumerate(triples[:s_pad]):
             ref = self.Refs[rid]
             labels[i] = self.fetch_seq(sid)
             box = xywh_to_xyxy(np.asarray(ref["box"], np.float32))
             gt_boxes[i, :4] = box * scale
             gt_boxes[i, 4] = ref["category_id"]
-            gt_masks[i] = self._ref_masks_to_canvas([rid], sh, sw)[0]
+            if rid not in row_of:
+                row_of[rid] = len(bank_rows)
+                bank_rows.append(rid)
+            mask_ref_idx[i] = row_of[rid]
             sent_valid[i] = True
 
-        return {"images": canvas[None], "im_hw": np.asarray([[sh, sw]],
-                                                            np.float32),
-                "labels": labels, "gt_boxes": gt_boxes,
-                "gt_masks": gt_masks, "sent_valid": sent_valid,
-                "im_scale": scale, "wrapped": wrapped,
-                "image_id": rec["image_id"]}
+        batch = {"images": canvas[None], "im_hw": np.asarray([[sh, sw]],
+                                                             np.float32),
+                 "labels": labels, "gt_boxes": gt_boxes,
+                 "sent_valid": sent_valid,
+                 "im_scale": scale, "wrapped": wrapped,
+                 "image_id": rec["image_id"]}
+        if d.wire_mask_bank:
+            # ref-deduped bank: sentences of one ref share its mask —
+            # ship each mask ONCE (config.data.wire_mask_bank). The row
+            # count pads to s_pad//2 when the refs fit (the common case:
+            # ~3 sentences/ref), else falls back to s_pad, keeping two
+            # jit specializations per sentence bucket.
+            r_real = len(bank_rows)
+            half = max(1, s_pad // 2)
+            r_pad = half if r_real <= half else s_pad
+            bank = np.zeros((r_pad, d.canvas_h, d.canvas_w), np.uint8)
+            for row, rid in enumerate(bank_rows):
+                bank[row] = self._ref_masks_to_canvas([rid], sh, sw)[0]
+            batch["gt_mask_bank"] = bank
+            batch["mask_ref_idx"] = mask_ref_idx
+        else:
+            gt_masks = np.zeros((s_pad, d.canvas_h, d.canvas_w), np.uint8)
+            for i, (rid, _) in enumerate(triples[:s_pad]):
+                gt_masks[i] = self._ref_masks_to_canvas([rid], sh, sw)[0]
+            batch["gt_masks"] = gt_masks
+        return batch
 
     def iter_attribute_batches(self, split: str, max_refs: int = 16):
         """Per image of the split: canvas + scaled GT boxes of the refs

@@ -30,6 +30,34 @@ from lang2seg_tpu.utils.metrics import (SegEvalAccumulator, nearest_resize,
                                         recover_masks)
 
 
+def _expand_mask_bank(bank: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-sentence masks from a ref-deduped bank (wire format
+    cfg.data.wire_mask_bank): equivalent to bank[ref_idx], but expressed
+    as an exact one-hot byte matmul — a leading-axis gather at
+    (S, Hc, Wc) scale lowers pathologically on this TPU while the
+    (S, R) @ (R, P) matmul rides the MXU. Works on raw {0,1} masks and
+    bit-packed bytes alike (byte values <= 255 are exact in f32)."""
+    r = bank.shape[0]
+    onehot = (ref_idx[:, None] == jnp.arange(r)[None, :]) \
+        .astype(jnp.float32)
+    flat = bank.reshape(r, -1).astype(jnp.float32)
+    return (onehot @ flat).astype(bank.dtype).reshape(
+        (ref_idx.shape[0],) + bank.shape[1:])
+
+
+def _host_expand_bank(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Host-side bank -> per-sentence expansion for the code paths that
+    consume batch["gt_masks"] directly (host-paste oracle, mesh chunks
+    with non-uniform bank sizes). No-op when the batch already carries
+    per-sentence masks."""
+    if "gt_mask_bank" not in batch or "gt_masks" in batch:
+        return batch
+    out = dict(batch)
+    out["gt_masks"] = np.asarray(batch["gt_mask_bank"])[
+        np.asarray(batch["mask_ref_idx"], np.int64)]
+    return out
+
+
 class Evaluator:
     def __init__(self, model: Lang2Seg, cfg: Config,
                  device_paste: bool = True):
@@ -85,9 +113,21 @@ class Evaluator:
             return sel, cls, inter, union
 
         self._eval_all_core = eval_all
+
+        def eval_all_bank(p, images, im_hw, labels, rng_uid, bank,
+                          ref_idx, scale, sh, sw, ih, iw, *, packed):
+            gm = _expand_mask_bank(bank, ref_idx)
+            return eval_all(p, images, im_hw, labels, rng_uid, gm,
+                            scale, sh, sw, ih, iw, packed=packed)
+
+        self._eval_all_core_bank = eval_all_bank
         self._eval_all = jax.jit(functools.partial(eval_all, packed=False))
         self._eval_all_packed = jax.jit(functools.partial(eval_all,
                                                           packed=True))
+        self._eval_all_bank = jax.jit(
+            functools.partial(eval_all_bank, packed=False))
+        self._eval_all_bank_packed = jax.jit(
+            functools.partial(eval_all_bank, packed=True))
         self._mesh_fns = {}
 
     def _mesh_eval_fn(self, mesh, packed: bool, num_sents: int):
@@ -118,21 +158,23 @@ class Evaluator:
         self._mesh_fns[key] = fn
         return fn
 
-    def _batched_eval_fn(self, packed: bool, n: int, num_sents: int):
+    def _batched_eval_fn(self, packed: bool, n: int, num_sents: int,
+                         bank: bool = False):
         """Single-device N-image fused eval (vmap over the per-image
         core): on the tunneled link each dispatch costs a full round
         trip, so batching n same-bucket images into ONE jit call
-        amortizes dispatch+transfer n-fold. Cached per (packed, n, S)."""
-        key = ("vmap", packed, n, num_sents)
+        amortizes dispatch+transfer n-fold. Cached per (packed, n, S,
+        bank); `bank` selects the ref-deduped mask-bank operand layout
+        (one extra mask_ref_idx operand, device-side expansion)."""
+        key = ("vmap", packed, n, num_sents, bank)
         if key in self._mesh_fns:
             return self._mesh_fns[key]
-        core = functools.partial(self._eval_all_core, packed=packed)
+        core = functools.partial(
+            self._eval_all_core_bank if bank else self._eval_all_core,
+            packed=packed)
 
-        def fn(p, images, im_hw, labels, rng_uid, gm, scale, sh, sw,
-               ih, iw):
-            return jax.vmap(
-                lambda *a: core(p, *a))(images, im_hw, labels, rng_uid,
-                                        gm, scale, sh, sw, ih, iw)
+        def fn(p, *ops):
+            return jax.vmap(lambda *a: core(p, *a))(*ops)
 
         jfn = jax.jit(fn)
         self._mesh_fns[key] = jfn
@@ -140,7 +182,8 @@ class Evaluator:
 
     def _dispatch_chunk(self, params, chunk, valid_flags):
         """Issue one fused multi-image dispatch (no blocking readback).
-        All images in `chunk` must share the sentence-bucket size."""
+        All images in `chunk` must share the sentence-bucket size (and,
+        for the bank wire format, the bank row count)."""
         s = chunk[0]["labels"].shape[0]
         assert all(b["labels"].shape[0] == s for b in chunk)
         scales = np.asarray([float(b["im_scale"]) for b in chunk],
@@ -155,7 +198,13 @@ class Evaluator:
                          for w, sc in zip(sw, scales)], np.int32)
         assert (ih <= self.cfg.data.max_orig_h).all() and \
                (iw <= self.cfg.data.max_orig_w).all()
-        gms = [np.asarray(b["gt_masks"]) for b in chunk]
+        use_bank = "gt_mask_bank" in chunk[0]
+        if use_bank:
+            gms = [np.asarray(b["gt_mask_bank"]) for b in chunk]
+            assert all(g.shape[0] == gms[0].shape[0] for g in gms), \
+                "bank chunks need a uniform bank row count"
+        else:
+            gms = [np.asarray(b["gt_masks"]) for b in chunk]
         packed = gms[0].shape[-1] % 8 == 0
         if packed:
             gms = [np.packbits(g > 0, axis=-1) for g in gms]
@@ -163,13 +212,17 @@ class Evaluator:
         for _ in chunk:
             self._rng_uid += 1
             uids.append(self._rng_uid)
-        fn = self._batched_eval_fn(packed, len(chunk), s)
+        fn = self._batched_eval_fn(packed, len(chunk), s, bank=use_bank)
+        mask_ops = (np.stack(gms),)
+        if use_bank:
+            mask_ops += (np.stack([np.asarray(b["mask_ref_idx"], np.int32)
+                                   for b in chunk]),)
         sel, cls, inter, union = fn(
             params,
             np.stack([np.asarray(b["images"]) for b in chunk]),
             np.stack([np.asarray(b["im_hw"], np.float32) for b in chunk]),
             np.stack([np.asarray(b["labels"]) for b in chunk]),
-            np.asarray(uids, np.int32), np.stack(gms),
+            np.asarray(uids, np.int32), *mask_ops,
             scales, sh, sw, ih, iw)
         return {"chunk": chunk, "valid_flags": valid_flags,
                 "scales": scales, "sel": sel, "inter": inter,
@@ -318,17 +371,28 @@ class Evaluator:
         if m.use_mask_head and self.device_paste and fits:
             # single fused dispatch; raw numpy operands (scalars included)
             # ride along with the one call
-            gm = np.asarray(batch["gt_masks"])
+            use_bank = "gt_mask_bank" in batch
+            gm = np.asarray(batch["gt_mask_bank" if use_bank
+                                  else "gt_masks"])
             packed = gm.shape[-1] % 8 == 0
-            fn = self._eval_all_packed if packed else self._eval_all
-            gm = np.packbits(gm > 0, axis=-1) if packed else gm
+            if use_bank:
+                fn = (self._eval_all_bank_packed if packed
+                      else self._eval_all_bank)
+                mask_ops = (np.packbits(gm > 0, axis=-1) if packed else gm,
+                            np.asarray(batch["mask_ref_idx"], np.int32))
+            else:
+                fn = self._eval_all_packed if packed else self._eval_all
+                mask_ops = (np.packbits(gm > 0, axis=-1) if packed
+                            else gm,)
             sel, cls, inter, union = fn(
                 params, batch["images"], batch["im_hw"], batch["labels"],
-                rng_uid, gm, np.float32(scale), np.int32(sh), np.int32(sw),
-                np.int32(ih), np.int32(iw))
+                rng_uid, *mask_ops, np.float32(scale), np.int32(sh),
+                np.int32(sw), np.int32(ih), np.int32(iw))
             rec["sel"], rec["iu"] = sel, (inter, union)
             return rec
 
+        # host-paste fallback reads batch["gt_masks"] directly
+        rec["batch"] = batch = _host_expand_bank(batch)
         out = self._fwd(params, {
             "images": batch["images"], "im_hw": batch["im_hw"],
             "labels": batch["labels"], "rng_uid": rng_uid,
@@ -435,23 +499,28 @@ class Evaluator:
                     else np.asarray(sv, bool))
 
         def flush(bucket):
+            # partial groups dispatch as power-of-two sub-chunks instead
+            # of padding with duplicate images: padding re-ships whole
+            # image copies over the (scarce) link, while pow2 splitting
+            # bounds the executable set to {1, 2, 4, ...} <= n_batch per
+            # bucket — every shape a run can hit is compiled during the
+            # first pass over the split, never mid-stream for a fresh
+            # remainder size
             group = by_bucket.pop(bucket, [])
-            if not group:
-                return
-            # pad partial chunks to the full dispatch size with a
-            # sentences-all-invalid copy of the first image: every chunk
-            # then has the SAME (n, S) shape, so each bucket compiles
-            # exactly once (a fresh shape mid-eval costs a full XLA
-            # compile on this link)
-            while len(group) < n_batch:
-                group.append((group[0][0],
-                              np.zeros_like(group[0][1])))
-            pending.append(self._dispatch_chunk(
-                params, [b for b, _ in group], [v for _, v in group]))
+            while group:
+                take = min(1 << (len(group).bit_length() - 1), n_batch)
+                sub, group = group[:take], group[take:]
+                pending.append(self._dispatch_chunk(
+                    params, [b for b, _ in sub], [v for _, v in sub]))
 
         for batch in batches:
             if use_chunks:
-                s = batch["labels"].shape[0]
+                # chunk key: sentence bucket + bank row count (bank
+                # chunks stack (n, R, Hc, Wc/8) operands, so R must be
+                # uniform within a chunk; -1 = per-sentence masks)
+                s = (batch["labels"].shape[0],
+                     batch["gt_mask_bank"].shape[0]
+                     if "gt_mask_bank" in batch else -1)
                 fits = (int(round(float(batch["im_hw"][0][0])
                                   / float(batch["im_scale"])))
                         <= self.cfg.data.max_orig_h
@@ -496,7 +565,11 @@ class Evaluator:
         done = 0
 
         for c0 in range(0, len(batches), n):
-            chunk = batches[c0:c0 + n]
+            # mesh chunks stack one gm per device, so bank row counts
+            # would have to agree across arbitrary images; expand banks
+            # on host instead (mesh eval targets real pods with local
+            # PCIe, where the per-sentence upload is not the bottleneck)
+            chunk = [_host_expand_bank(b) for b in batches[c0:c0 + n]]
             valid_flags = []
             for b in chunk:
                 sv = b.get("sent_valid")

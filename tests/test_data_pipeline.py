@@ -214,9 +214,36 @@ def test_test_batch_sentence_buckets(dataset):
         # smallest fitting bucket
         assert s == min(x for x in (2, 4, 8) if x >= n_real) or s == 8
         assert b["gt_boxes"].shape[0] == s
-        assert b["gt_masks"].shape[0] == s
+        # default wire format: ref-deduped mask bank + per-sentence index
+        assert b["gt_mask_bank"].shape[0] in (max(1, s // 2), s)
+        assert b["mask_ref_idx"].shape == (s,)
         sizes.add(s)
     # fixed-pad path unchanged
     loader.reset_iterator("val")
     b = loader.get_test_batch("val", max_sents=8)
     assert b["labels"].shape[0] == 8
+
+
+def test_mask_bank_matches_per_sentence_masks(dataset):
+    """wire_mask_bank=True ships each ref's canvas mask once; expanding
+    bank[mask_ref_idx] must reproduce exactly the per-sentence masks the
+    flag-off format ships."""
+    root, jp, hp = dataset
+    cfg_on = make_cfg(root)
+    loader_on = GtBatchLoader(jp, hp, cfg_on)
+    cfg_off = make_cfg(root)
+    cfg_off.data.wire_mask_bank = False
+    loader_off = GtBatchLoader(jp, hp, cfg_off)
+    loader_on.reset_iterator("val")
+    loader_off.reset_iterator("val")
+    for _ in range(2):
+        a = loader_on.get_test_batch("val", max_sents=8)
+        b = loader_off.get_test_batch("val", max_sents=8)
+        assert a["image_id"] == b["image_id"]
+        expanded = a["gt_mask_bank"][a["mask_ref_idx"]]
+        np.testing.assert_array_equal(expanded[a["sent_valid"]],
+                                      b["gt_masks"][b["sent_valid"]])
+        # dedup actually dedups: rows <= distinct refs among the valid
+        # sentences (plus zero padding rows)
+        n_used = len(set(a["mask_ref_idx"][a["sent_valid"]].tolist()))
+        assert n_used <= a["gt_mask_bank"].shape[0]

@@ -62,3 +62,32 @@ def test_batched_dispatch_matches_single_image():
     for k in ref:
         assert got[k] == pytest.approx(ref[k], abs=1e-12), \
             (k, got[k], ref[k])
+
+
+def test_mesh_eval_accepts_mask_bank_batches():
+    """Bank-format batches (gt_mask_bank + mask_ref_idx) flow through the
+    mesh path via host expansion and match the per-sentence result."""
+    cfg = tiny_config()
+    cfg.data.max_orig_h = cfg.data.canvas_h
+    cfg.data.max_orig_w = cfg.data.canvas_w
+    model, tx, state = create_train_state(cfg)
+    ev = Evaluator(model, cfg, device_paste=True)
+    mesh = make_mesh(8)
+
+    per_sent = _eval_batches(cfg, 3)
+    banked = []
+    for b in per_sent:
+        nb = dict(b)
+        nb["gt_mask_bank"] = b["gt_masks"][:1]       # both sents, 1 ref
+        nb["mask_ref_idx"] = np.zeros(2, np.int32)
+        nb["gt_masks"] = np.repeat(b["gt_masks"][:1], 2, axis=0)
+        banked.append(nb)
+    ref = [dict(b, gt_masks=np.repeat(b["gt_masks"][:1], 2, axis=0))
+           for b in per_sent]
+    for b in banked:
+        del b["gt_masks"]
+    want = ev.eval_split_mesh(state.params, ref, mesh)
+    got = ev.eval_split_mesh(state.params, banked, mesh)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), \
+            (k, got[k], want[k])

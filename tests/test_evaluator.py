@@ -112,3 +112,41 @@ def test_device_paste_matches_host_protocol(rng):
         uh_ = np.logical_or(pred[i], gt_orig).sum()
         assert int(inter_d[i]) == int(ih_), (i, int(inter_d[i]), int(ih_))
         assert int(union_d[i]) == int(uh_), (i, int(union_d[i]), int(uh_))
+
+
+def test_mask_bank_eval_matches_per_sentence():
+    """The ref-deduped mask-bank wire format (gt_mask_bank +
+    mask_ref_idx, device-side one-hot expansion) must produce the exact
+    summary the per-sentence gt_masks format produces, through the real
+    chunked eval_split path (including a padded partial chunk)."""
+    cfg = tiny_config()
+    model, tx, state = create_train_state(cfg)
+
+    def batches(use_bank):
+        out = []
+        for seed in range(3):
+            b = synthetic_batch(cfg, 1, 4, seed=seed)
+            idx = np.array([0, 0, 1, 1], np.int32)     # 2 refs x 2 sents
+            bank = np.stack([b["gt_masks"][0], b["gt_masks"][2]])
+            gt_boxes = b["gt_boxes"].copy()
+            gt_boxes[1] = gt_boxes[0]
+            gt_boxes[3] = gt_boxes[2]
+            base = {"images": b["images"], "im_hw": b["im_hw"],
+                    "labels": b["labels"], "gt_boxes": gt_boxes,
+                    "im_scale": np.float32(1.0),
+                    "sent_valid": np.array([True, True, True, False])}
+            if use_bank:
+                base.update(gt_mask_bank=bank, mask_ref_idx=idx)
+            else:
+                base["gt_masks"] = bank[idx]
+            out.append(base)
+        return out
+
+    # separate Evaluator instances so the per-image rng uids line up
+    s_ps = Evaluator(model, cfg).eval_split(
+        state.params, batches(False), images_per_dispatch=2)
+    s_bk = Evaluator(model, cfg).eval_split(
+        state.params, batches(True), images_per_dispatch=2)
+    assert s_ps.keys() == s_bk.keys()
+    for k in s_ps:
+        assert abs(s_ps[k] - s_bk[k]) < 1e-9, (k, s_ps[k], s_bk[k])
