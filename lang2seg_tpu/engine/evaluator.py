@@ -53,8 +53,8 @@ def _host_expand_bank(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     if "gt_mask_bank" not in batch or "gt_masks" in batch:
         return batch
     out = dict(batch)
-    out["gt_masks"] = np.asarray(batch["gt_mask_bank"])[
-        np.asarray(batch["mask_ref_idx"], np.int64)]
+    out["gt_masks"] = np.asarray(out.pop("gt_mask_bank"))[
+        np.asarray(out.pop("mask_ref_idx"), np.int64)]
     return out
 
 
@@ -180,24 +180,40 @@ class Evaluator:
         self._mesh_fns[key] = jfn
         return jfn
 
-    def _dispatch_chunk(self, params, chunk, valid_flags):
-        """Issue one fused multi-image dispatch (no blocking readback).
-        All images in `chunk` must share the sentence-bucket size (and,
+    def _extents(self, batch):
+        """(scale, sh, sw, ih, iw) for one image batch — the single
+        definition of the scaled/original extent math used by every
+        dispatch path (the rounding order matters: ih derives from the
+        ALREADY-ROUNDED sh so routing decisions and dispatch asserts
+        can never disagree by one pixel)."""
+        scale = float(batch["im_scale"])
+        sh = int(round(float(batch["im_hw"][0][0])))
+        sw = int(round(float(batch["im_hw"][0][1])))
+        ih = int(round(sh / scale))
+        iw = int(round(sw / scale))
+        return scale, sh, sw, ih, iw
+
+    def _fits(self, ih: int, iw: int) -> bool:
+        """Whether an original extent fits the device-paste buffers."""
+        return (ih <= self.cfg.data.max_orig_h
+                and iw <= self.cfg.data.max_orig_w)
+
+    def _stack_chunk(self, chunk):
+        """Stacked jit operands + extent arrays for one multi-image
+        chunk — shared by the single-device vmap dispatch and the mesh
+        dispatch. All images must share the sentence-bucket size (and,
         for the bank wire format, the bank row count)."""
         s = chunk[0]["labels"].shape[0]
-        assert all(b["labels"].shape[0] == s for b in chunk)
-        scales = np.asarray([float(b["im_scale"]) for b in chunk],
-                            np.float32)
-        sh = np.asarray([int(round(float(b["im_hw"][0][0])))
-                         for b in chunk], np.int32)
-        sw = np.asarray([int(round(float(b["im_hw"][0][1])))
-                         for b in chunk], np.int32)
-        ih = np.asarray([int(round(h / sc))
-                         for h, sc in zip(sh, scales)], np.int32)
-        iw = np.asarray([int(round(w / sc))
-                         for w, sc in zip(sw, scales)], np.int32)
-        assert (ih <= self.cfg.data.max_orig_h).all() and \
-               (iw <= self.cfg.data.max_orig_w).all()
+        assert all(b["labels"].shape[0] == s for b in chunk), \
+            "chunk needs a uniform sentence-bucket size"
+        exts = [self._extents(b) for b in chunk]
+        scales = np.asarray([e[0] for e in exts], np.float32)
+        sh = np.asarray([e[1] for e in exts], np.int32)
+        sw = np.asarray([e[2] for e in exts], np.int32)
+        ih = np.asarray([e[3] for e in exts], np.int32)
+        iw = np.asarray([e[4] for e in exts], np.int32)
+        assert all(self._fits(h, w) for h, w in zip(ih, iw)), \
+            "original extents exceed the device-paste buffers"
         use_bank = "gt_mask_bank" in chunk[0]
         if use_bank:
             gms = [np.asarray(b["gt_mask_bank"]) for b in chunk]
@@ -212,18 +228,23 @@ class Evaluator:
         for _ in chunk:
             self._rng_uid += 1
             uids.append(self._rng_uid)
-        fn = self._batched_eval_fn(packed, len(chunk), s, bank=use_bank)
         mask_ops = (np.stack(gms),)
         if use_bank:
             mask_ops += (np.stack([np.asarray(b["mask_ref_idx"], np.int32)
                                    for b in chunk]),)
-        sel, cls, inter, union = fn(
-            params,
-            np.stack([np.asarray(b["images"]) for b in chunk]),
-            np.stack([np.asarray(b["im_hw"], np.float32) for b in chunk]),
-            np.stack([np.asarray(b["labels"]) for b in chunk]),
-            np.asarray(uids, np.int32), *mask_ops,
-            scales, sh, sw, ih, iw)
+        ops = (np.stack([np.asarray(b["images"]) for b in chunk]),
+               np.stack([np.asarray(b["im_hw"], np.float32)
+                         for b in chunk]),
+               np.stack([np.asarray(b["labels"]) for b in chunk]),
+               np.asarray(uids, np.int32), *mask_ops,
+               scales, sh, sw, ih, iw)
+        return ops, scales, s, packed, use_bank
+
+    def _dispatch_chunk(self, params, chunk, valid_flags):
+        """Issue one fused multi-image dispatch (no blocking readback)."""
+        ops, scales, s, packed, use_bank = self._stack_chunk(chunk)
+        fn = self._batched_eval_fn(packed, len(chunk), s, bank=use_bank)
+        sel, cls, inter, union = fn(params, *ops)
         return {"chunk": chunk, "valid_flags": valid_flags,
                 "scales": scales, "sel": sel, "inter": inter,
                 "union": union}
@@ -356,15 +377,10 @@ class Evaluator:
         un-pipelined loop paid ~2 of those per image — more than the
         actual eval compute."""
         m = self.cfg.model
-        scale = float(batch["im_scale"])
-        ih = int(round(float(batch["im_hw"][0][0]) / scale))
-        iw = int(round(float(batch["im_hw"][0][1]) / scale))
-        sh = int(round(float(batch["im_hw"][0][0])))
-        sw = int(round(float(batch["im_hw"][0][1])))
+        scale, sh, sw, ih, iw = self._extents(batch)
         rec = {"batch": batch, "scale": scale, "ih": ih, "iw": iw,
                "sh": sh, "sw": sw, "sent_valid": sent_valid}
-        fits = (ih <= self.cfg.data.max_orig_h
-                and iw <= self.cfg.data.max_orig_w)
+        fits = self._fits(ih, iw)
         self._rng_uid += 1
         rng_uid = np.int32(self._rng_uid)
 
@@ -482,13 +498,16 @@ class Evaluator:
 
         def drain_one():
             nonlocal bi
+            prev = bi
             rec = pending.popleft()
             if "chunk" in rec:
                 bi += self._drain_chunk(rec, acc)
             else:
                 self.drain(rec, acc)
                 bi += 1
-            if verbose and bi % 20 == 0:
+            # "crossed a multiple of 20" — chunked drains advance bi in
+            # steps > 1, so an == check would skip most progress lines
+            if verbose and bi // 20 > prev // 20:
                 s = acc.summary()
                 print(f"[eval] {bi} images: det_acc={s['det_acc']:.4f} "
                       f"IoU={s['overall_iou']:.4f}")
@@ -499,16 +518,18 @@ class Evaluator:
                     else np.asarray(sv, bool))
 
         def flush(bucket):
-            # partial groups dispatch as power-of-two sub-chunks instead
-            # of padding with duplicate images: padding re-ships whole
+            # full groups dispatch at the requested size; PARTIAL
+            # remainders split into power-of-two sub-chunks instead of
+            # padding with duplicate images: padding re-ships whole
             # image copies over the (scarce) link, while pow2 splitting
-            # bounds the executable set to {1, 2, 4, ...} <= n_batch per
-            # bucket — every shape a run can hit is compiled during the
-            # first pass over the split, never mid-stream for a fresh
-            # remainder size
+            # bounds the executable set to {n_batch, ...pow2 < n_batch}
+            # per bucket — every shape a run can hit is compiled during
+            # the first pass over the split, never mid-stream for a
+            # fresh remainder size
             group = by_bucket.pop(bucket, [])
             while group:
-                take = min(1 << (len(group).bit_length() - 1), n_batch)
+                take = (n_batch if len(group) >= n_batch
+                        else 1 << (len(group).bit_length() - 1))
                 sub, group = group[:take], group[take:]
                 pending.append(self._dispatch_chunk(
                     params, [b for b, _ in sub], [v for _, v in sub]))
@@ -521,13 +542,8 @@ class Evaluator:
                 s = (batch["labels"].shape[0],
                      batch["gt_mask_bank"].shape[0]
                      if "gt_mask_bank" in batch else -1)
-                fits = (int(round(float(batch["im_hw"][0][0])
-                                  / float(batch["im_scale"])))
-                        <= self.cfg.data.max_orig_h
-                        and int(round(float(batch["im_hw"][0][1])
-                                      / float(batch["im_scale"])))
-                        <= self.cfg.data.max_orig_w)
-                if fits:
+                _, _, _, ih, iw = self._extents(batch)
+                if self._fits(ih, iw):
                     by_bucket.setdefault(s, []).append(
                         (batch, valid_of(batch)))
                     if len(by_bucket[s]) >= n_batch:
@@ -561,75 +577,45 @@ class Evaluator:
             "mesh eval requires the device-paste path"
         n = int(np.prod(mesh.devices.shape))
         acc = SegEvalAccumulator()
-        batches = list(batches)
         done = 0
 
-        for c0 in range(0, len(batches), n):
-            # mesh chunks stack one gm per device, so bank row counts
-            # would have to agree across arbitrary images; expand banks
-            # on host instead (mesh eval targets real pods with local
-            # PCIe, where the per-sentence upload is not the bottleneck)
-            chunk = [_host_expand_bank(b) for b in batches[c0:c0 + n]]
-            valid_flags = []
-            for b in chunk:
-                sv = b.get("sent_valid")
-                valid_flags.append(
-                    np.ones(b["labels"].shape[0], bool) if sv is None
-                    else np.asarray(sv, bool))
-            while len(chunk) < n:                       # pad final chunk
-                chunk.append(chunk[0])
-                valid_flags.append(np.zeros_like(valid_flags[0]))
+        # group by sentence-bucket size so bucketed production iterators
+        # (loader.iter_test_batches(buckets=...)) work: each mesh
+        # dispatch stacks one image per device and jit specializes on S.
+        # Mesh chunks also stack one gm per device, so ref-deduped banks
+        # (whose row counts vary per image) are expanded on host (mesh
+        # eval targets real pods with local PCIe, where the per-sentence
+        # upload is not the bottleneck).
+        groups: Dict[int, list] = {}
+        for b in batches:
+            b = _host_expand_bank(b)
+            groups.setdefault(b["labels"].shape[0], []).append(b)
 
-            s = chunk[0]["labels"].shape[0]
-            assert all(b["labels"].shape[0] == s for b in chunk), \
-                "mesh eval chunk needs a uniform sentence-bucket size"
-            scales = np.asarray([float(b["im_scale"]) for b in chunk],
-                                np.float32)
-            sh = np.asarray([int(round(float(b["im_hw"][0][0])))
-                             for b in chunk], np.int32)
-            sw = np.asarray([int(round(float(b["im_hw"][0][1])))
-                             for b in chunk], np.int32)
-            ih = np.asarray([int(round(h / sc))
-                             for h, sc in zip(sh, scales)], np.int32)
-            iw = np.asarray([int(round(w / sc))
-                             for w, sc in zip(sw, scales)], np.int32)
-            assert (ih <= self.cfg.data.max_orig_h).all() and \
-                   (iw <= self.cfg.data.max_orig_w).all(), \
-                "original extents exceed the device-paste buffers"
+        for s_key in sorted(groups):
+            group = groups[s_key]
+            for c0 in range(0, len(group), n):
+                chunk = group[c0:c0 + n]
+                n_real = len(chunk)
+                valid_flags = []
+                for b in chunk:
+                    sv = b.get("sent_valid")
+                    valid_flags.append(
+                        np.ones(b["labels"].shape[0], bool) if sv is None
+                        else np.asarray(sv, bool))
+                while len(chunk) < n:                   # pad final chunk
+                    chunk.append(chunk[0])
+                    valid_flags.append(np.zeros_like(valid_flags[0]))
 
-            gms = [np.asarray(b["gt_masks"]) for b in chunk]
-            packed = gms[0].shape[-1] % 8 == 0
-            if packed:
-                gms = [np.packbits(g > 0, axis=-1) for g in gms]
-            uids = []
-            for _ in chunk:
-                self._rng_uid += 1
-                uids.append(self._rng_uid)
-
-            fn = self._mesh_eval_fn(mesh, packed, s)
-            sel, cls, inter, union = fn(
-                params,
-                np.stack([np.asarray(b["images"]) for b in chunk]),
-                np.stack([np.asarray(b["im_hw"], np.float32)
-                          for b in chunk]),
-                np.stack([np.asarray(b["labels"]) for b in chunk]),
-                np.asarray(uids, np.int32), np.stack(gms),
-                scales, sh, sw, ih, iw)
-            sel = np.asarray(sel)
-            inter = np.asarray(inter)
-            union = np.asarray(union)
-
-            for d, b in enumerate(chunk[:len(batches) - c0]):
-                sv = valid_flags[d]
-                for i in range(s):
-                    if not sv[i]:
-                        continue
-                    gt_box = np.asarray(b["gt_boxes"][i, :4]) / scales[d]
-                    acc.add_detection(sel[d, i], gt_box)
-                    acc.add_segmentation_iu(int(inter[d, i]),
-                                            int(union[d, i]))
-                done += 1
-                if verbose and done % 20 == 0:
+                ops, scales, s, packed, use_bank = self._stack_chunk(chunk)
+                fn = self._mesh_eval_fn(mesh, packed, s)
+                sel, cls, inter, union = fn(params, *ops)
+                prev = done
+                done += self._drain_chunk(
+                    {"chunk": chunk[:n_real],
+                     "valid_flags": valid_flags[:n_real],
+                     "scales": scales, "sel": sel, "inter": inter,
+                     "union": union}, acc)
+                if verbose and done // 20 > prev // 20:
                     ss = acc.summary()
                     print(f"[eval-mesh] {done} images: "
                           f"det_acc={ss['det_acc']:.4f} "

@@ -30,15 +30,20 @@ _BIG = 1e9
 # a genuine NaN — it only neutralizes the miscompile. Default: enabled on
 # the CPU backend where the miscompile lives, DISABLED on TPU (a future
 # edit that reintroduced NaNs there would surface instead of being zeroed).
-# Force with LANG2SEG_NANGUARD=1/0; tests/test_targets.py asserts finite
-# with it off.
-_NANGUARD = {"1": True, "0": False}.get(
-    os.environ.get("LANG2SEG_NANGUARD", "auto"), "auto")
+# Force with LANG2SEG_NANGUARD=0 (off) / any other value (on; matches the
+# historical "anything except 0 enables" contract); unset = auto.
+# tests/test_targets.py asserts finite with it off.
+_env = os.environ.get("LANG2SEG_NANGUARD")
+_NANGUARD = "auto" if _env is None else _env != "0"
 
 
 def _guard(x):
     on = _NANGUARD
     if on == "auto":
+        # auto keys off the process's default backend at trace time; a
+        # caller explicitly jitting targets onto CPU from a TPU-default
+        # process would dodge the guard — force LANG2SEG_NANGUARD=1
+        # in that (out-of-tree) configuration
         on = jax.default_backend() == "cpu"
     return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0) if on else x
 

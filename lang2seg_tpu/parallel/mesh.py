@@ -31,6 +31,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None,
                          shutdown_timeout_seconds: Optional[int] = None,
+                         heartbeat_timeout_seconds: Optional[int] = None,
                          ) -> None:
     """Multi-host (DCN) initialization: wraps jax.distributed.initialize.
     On TPU pods the arguments auto-detect from the environment; pass them
@@ -41,7 +42,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     shutdown_timeout_seconds: how long a terminating process waits for
     the others at the coordination-service shutdown barrier (jax default
     300s). Raise it when processes can skew by minutes — e.g. each
-    cold-compiling the train step on a contended host."""
+    cold-compiling the train step on a contended host.
+
+    heartbeat_timeout_seconds: how long the coordinator tolerates a
+    process not heartbeating before declaring it dead (jax default
+    100s). Raise it when a process can be CPU-starved for minutes —
+    e.g. several workers cold-compiling concurrently on few cores."""
     import jax.distributed
     kwargs = {}
     if coordinator_address is not None:
@@ -52,6 +58,8 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     if shutdown_timeout_seconds is not None:
         kwargs["shutdown_timeout_seconds"] = shutdown_timeout_seconds
+    if heartbeat_timeout_seconds is not None:
+        kwargs["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     jax.distributed.initialize(**kwargs)
 
 

@@ -18,6 +18,7 @@ documented lower bound; the other three metrics are algorithm-exact.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 from collections import Counter, defaultdict
@@ -174,6 +175,7 @@ def _porter_light(w: str) -> str:
     return w
 
 
+@functools.lru_cache(maxsize=4)
 def load_synonyms(path: str) -> Dict[str, frozenset]:
     """Load a synonym-set file for METEOR's synonymy stage: one synonym
     group per line, words space-separated (the data equivalent of METEOR

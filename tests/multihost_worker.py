@@ -62,13 +62,16 @@ def main():
 
     from lang2seg_tpu.parallel.mesh import (initialize_multihost, make_mesh,
                                             batch_spec)
-    # generous shutdown barrier: each worker cold-compiles the train step
-    # independently on this host's ONE core, so the first to finish can
-    # sit minutes at the exit barrier waiting for the other (the jax
-    # default 300s barrier killed both workers under compile skew)
+    # generous barriers: both workers cold-compile the train step
+    # concurrently on this host's ONE core, so (a) the first to finish
+    # can sit minutes at the exit barrier waiting for the other (the jax
+    # default 300s shutdown barrier killed both under compile skew) and
+    # (b) a worker can be CPU-starved past the default 100s heartbeat
+    # window mid-compile, which makes the coordinator declare it dead
     initialize_multihost(coordinator_address=coordinator,
                          num_processes=num_procs, process_id=proc_id,
-                         shutdown_timeout_seconds=1800)
+                         shutdown_timeout_seconds=1800,
+                         heartbeat_timeout_seconds=900)
 
     import jax
     import jax.numpy as jnp

@@ -64,6 +64,37 @@ def test_batched_dispatch_matches_single_image():
             (k, got[k], ref[k])
 
 
+def test_mesh_eval_mixed_sentence_buckets():
+    """Bucketed production iterators (iter_test_batches(buckets=...))
+    emit mixed sentence-pad sizes; mesh eval must group by bucket (one
+    jit specialization per S) and still match the serial protocol."""
+    cfg = tiny_config()
+    cfg.data.max_orig_h = cfg.data.canvas_h
+    cfg.data.max_orig_w = cfg.data.canvas_w
+    model, tx, state = create_train_state(cfg)
+    ev = Evaluator(model, cfg, device_paste=True)
+    mesh = make_mesh(8)
+
+    batches = _eval_batches(cfg, 3)
+    # widen the last image to a 4-slot bucket (2 valid + 2 padded)
+    b = batches[-1]
+    b["labels"] = np.concatenate(
+        [b["labels"], np.zeros_like(b["labels"])], axis=0)
+    b["gt_boxes"] = np.concatenate(
+        [b["gt_boxes"], np.zeros_like(b["gt_boxes"])], axis=0)
+    b["gt_masks"] = np.concatenate(
+        [b["gt_masks"], np.zeros_like(b["gt_masks"])], axis=0)
+    b["sent_valid"] = np.array([True, True, False, False])
+
+    ref = ev.eval_split(state.params, [dict(x) for x in batches])
+    got = ev.eval_split_mesh(state.params, [dict(x) for x in batches],
+                             mesh)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12), \
+            (k, got[k], ref[k])
+
+
 def test_mesh_eval_accepts_mask_bank_batches():
     """Bank-format batches (gt_mask_bank + mask_ref_idx) flow through the
     mesh path via host expansion and match the per-sentence result."""
