@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--num-classes", type=int, default=8)
     ap.add_argument("--decay-at", type=int, default=0,
                     help="step at which LR decays x0.1 (0 = never)")
+    ap.add_argument("--backbone", default="resnet26",
+                    help="resnet26 (CPU-mesh friendly) up to the "
+                         "flagship resnet101 for real-chip runs")
+    ap.add_argument("--canvas", default="128x192",
+                    help="HxW canvas; the learnable set's rectangles "
+                         "scale with it (stay >= the 64px smallest "
+                         "anchor)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--json", action="store_true",
                     help="emit one final JSON line (untrained + trained "
                          "summaries) for tests/test_learning.py")
@@ -50,13 +59,14 @@ def main():
     from lang2seg_tpu.engine.evaluator import Evaluator
 
     cfg = Config()
-    cfg.data.canvas_h = 128
-    cfg.data.canvas_w = 192
-    cfg.data.max_orig_h = 128
-    cfg.data.max_orig_w = 192
-    cfg.model.backbone = "resnet26"
+    ch, cw = (int(x) for x in args.canvas.split("x"))
+    cfg.data.canvas_h = ch
+    cfg.data.canvas_w = cw
+    cfg.data.max_orig_h = ch
+    cfg.data.max_orig_w = cw
+    cfg.model.backbone = args.backbone
     cfg.model.vocab_size = 16
-    cfg.model.compute_dtype = "float32"
+    cfg.model.compute_dtype = args.dtype
     cfg.model.normalize_response = True
     cfg.model.num_filters = args.filters
     cfg.model.response_gate = args.gate
