@@ -18,21 +18,29 @@ normal_init = nn.initializers.normal  # stddev arg at call sites
 
 
 class RPNHead(nn.Module):
-    """3x3 conv (C4 -> 512) + ReLU, then 1x1 cls (A*2) and bbox (A*4)."""
+    """3x3 conv (C4 -> 512) + ReLU, then 1x1 cls (A*2) and bbox (A*4).
+
+    The 3x3 conv runs in `dtype` (the model compute dtype — it is the
+    heaviest conv outside the backbone, applied per EXPRESSION on the
+    gated C4 map, and the r1 always-f32 cast cost ~2x its MXU time);
+    logits/deltas return as f32 for the proposal and loss math."""
     num_anchors: int = 12
     mid_channels: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, net_conv: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         a = self.num_anchors
         rpn = nn.relu(nn.Conv(self.mid_channels, (3, 3), padding=[(1, 1)] * 2,
-                              kernel_init=normal_init(0.01),
-                              name="rpn_conv")(net_conv.astype(jnp.float32)))
+                              kernel_init=normal_init(0.01), dtype=self.dtype,
+                              name="rpn_conv")(net_conv.astype(self.dtype)))
         cls = nn.Conv(a * 2, (1, 1), kernel_init=normal_init(0.01),
-                      name="rpn_cls")(rpn)
+                      dtype=self.dtype, name="rpn_cls")(rpn)
         box = nn.Conv(a * 4, (1, 1), kernel_init=normal_init(0.01),
-                      name="rpn_bbox")(rpn)
+                      dtype=self.dtype, name="rpn_bbox")(rpn)
+        cls = cls.astype(jnp.float32)
+        box = box.astype(jnp.float32)
         b, h, w, _ = cls.shape
         return cls.reshape(b, h, w, a, 2), box.reshape(b, h, w, a, 4)
 

@@ -96,7 +96,7 @@ class Lang2Seg(nn.Module):
                 gate=m.response_gate, normalize=m.normalize_response,
                 use_pallas=m.use_pallas)
         num_anchors = len(m.anchor_scales) * len(m.anchor_ratios)
-        self.rpn_head = RPNHead(num_anchors=num_anchors)
+        self.rpn_head = RPNHead(num_anchors=num_anchors, dtype=dtype)
         self.box_head = BoxHead(num_classes=m.num_classes)
         if m.use_mask_head:
             self.mask_head = MaskHead(num_classes=m.num_classes,
