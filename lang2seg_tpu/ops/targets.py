@@ -177,11 +177,15 @@ def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     bg_count = jnp.sum(bg)
 
     k_fg, k_bg, k_rep = jax.random.split(key, 3)
-    fg_rank = _random_rank(k_fg, fg)
-    bg_rank = _random_rank(k_bg, bg)
-    # index of the candidate holding fg-rank r (random order over fg)
-    fg_by_rank = jnp.argsort(fg_rank)            # (P+M,), first fg_count are fg
-    bg_by_rank = jnp.argsort(bg_rank)
+    # index of the candidate holding fg-rank r (random order over fg).
+    # argsort(_random_rank(k, m)) == argsort(prio) exactly (the rank
+    # array is the inverse permutation of argsort(prio); sorting it
+    # recovers argsort(prio)) — so build the by-rank order with ONE sort
+    # instead of _random_rank's sort+scatter+sort.
+    fg_by_rank = jnp.argsort(
+        jax.random.uniform(k_fg, fg.shape) + (~fg) * _BIG)
+    bg_by_rank = jnp.argsort(
+        jax.random.uniform(k_bg, bg.shape) + (~bg) * _BIG)
 
     # how many fg slots are real fg: min(num_fg_slots, fg_count); when there
     # are no bg candidates the reference fills all slots with fg sampled with
@@ -238,8 +242,24 @@ def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     mh, mw = gt_masks.shape[1], gt_masks.shape[2]
     ys = jnp.clip(ys, 0, mh - 1)
     xs = jnp.clip(xs, 0, mw - 1)
-    mask_t = gt_masks[fg_gt[:, None, None], ys[:, :, None],
-                      xs[:, None, :]].astype(jnp.float32)
+    # nearest point selection expressed as exact one-hot matmuls — the
+    # 3-D advanced-index gather gt_masks[fg_gt, ys, xs] lowers
+    # pathologically on this TPU (~58 ms standalone at flagship shapes
+    # vs ~1 ms for the contraction; same pathology class the ROI crop
+    # had). Row-select each fg slot's GT mask rows, then column-select:
+    # all values stay in {0, 1}, exact in f32.
+    sel_m = (fg_gt[:, None] == jnp.arange(gt_masks.shape[0])[None, :]
+             ).astype(jnp.float32)                          # (F, M)
+    sel_y = (ys[:, :, None] == jnp.arange(mh)[None, None, :]
+             ).astype(jnp.float32)                          # (F, S, H)
+    sel_x = (xs[:, :, None] == jnp.arange(mw)[None, None, :]
+             ).astype(jnp.float32)                          # (F, S, W)
+    gmf = gt_masks.astype(jnp.float32)                      # (M, H, W)
+    # contract H before M so the intermediate is (F, S, M, W) (a few MB)
+    # rather than a per-slot full-canvas (F, H, W) copy (hundreds of MB)
+    rows = jnp.einsum("fsh,mhw->fsmw", sel_y, gmf)
+    rows = jnp.einsum("fm,fsmw->fsw", sel_m, rows)           # (F, S, W)
+    mask_t = jnp.einsum("fsw,ftw->fst", rows, sel_x)         # (F, S, S)
     mask_w = (is_fg_slot[:num_fg_slots] & out_valid[:num_fg_slots]).astype(jnp.float32)
 
     return ProposalTargets(out_rois, labels, tgt, bbox_w, mask_t, mask_w,
