@@ -33,6 +33,23 @@ import jax.numpy as jnp
 REFERENCE_EXPR_PER_SEC = 2.5
 
 
+def timed_window(step, state, batch, iters=10, passes=3):
+    """Best-of-`passes` timing of `iters` train steps, value-readback
+    synchronized (on the tunneled device here block_until_ready does NOT
+    synchronize; only a host readback is a true barrier, and the link
+    adds run-to-run noise a single window conflates with step time).
+    Returns (best_seconds, state). Asserts the loss stays finite."""
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, losses = step(state, batch)
+        total = float(losses["total_loss"])
+        best = min(best, time.perf_counter() - t0)
+        assert total == total, "NaN loss in bench"
+    return best, state
+
+
 def flagship_config():
     from lang2seg_tpu.config import Config
     cfg = Config()
@@ -74,17 +91,8 @@ def bench_train():
     state, losses = step(state, batch)
     float(losses["total_loss"])
 
-    # best of 3 timed passes: the tunneled link adds run-to-run noise
-    # that a single window conflates with step time
     iters = 10
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, losses = step(state, batch)
-        total = float(losses["total_loss"])
-        dt = min(dt, time.perf_counter() - t0)
-        assert total == total, "NaN loss in bench"
+    dt, state = timed_window(step, state, batch, iters=iters)
 
     expr_per_sec = num_expr * iters / dt
     line = {

@@ -173,7 +173,8 @@ def main():
 
     # ---- RPN head fwd+bwd on E gated maps ----
     from lang2seg_tpu.models.heads import RPNHead
-    rh = RPNHead(num_anchors=12)
+    # flagship dtype: network.py passes the model compute dtype (bf16)
+    rh = RPNHead(num_anchors=12, dtype=jnp.bfloat16)
     rparams = rh.init(jax.random.PRNGKey(5), gated[:1])["params"]
 
     def rpn_loss(p, g):
