@@ -64,6 +64,28 @@ def test_batched_dispatch_matches_single_image():
             (k, got[k], ref[k])
 
 
+def test_full_chunks_dispatch_at_requested_size():
+    """images_per_dispatch=3 (non-pow2) must dispatch full groups as 3,
+    splitting only the partial remainder into pow2 sub-chunks (5 images
+    -> [3, 2]); an earlier version pow2-split full groups too."""
+    cfg = tiny_config()
+    cfg.data.max_orig_h = cfg.data.canvas_h
+    cfg.data.max_orig_w = cfg.data.canvas_w
+    model, tx, state = create_train_state(cfg)
+    ev = Evaluator(model, cfg, device_paste=True)
+    sizes = []
+    orig = ev._dispatch_chunk
+
+    def spy(params, chunk, valid_flags):
+        sizes.append(len(chunk))
+        return orig(params, chunk, valid_flags)
+
+    ev._dispatch_chunk = spy
+    ev.eval_split(state.params, _eval_batches(cfg, 5),
+                  images_per_dispatch=3)
+    assert sorted(sizes) == [2, 3], sizes
+
+
 def test_mesh_eval_mixed_sentence_buckets():
     """Bucketed production iterators (iter_test_batches(buckets=...))
     emit mixed sentence-pad sizes; mesh eval must group by bucket (one
