@@ -75,6 +75,14 @@ class TrainConfig:
     # batching (ours; reference is 1 sentence / step)
     expressions_per_batch: int = 8
     images_per_batch: int = 2
+    # SGD steps fused into one jit dispatch (lax.scan over the step
+    # body; ours — the reference dispatches per sentence). >1 amortizes
+    # the per-dispatch host round trip, which on remote/tunneled devices
+    # rivals the step compute itself. Semantics are identical to single
+    # stepping (same RNG chain, per-group SGD); only snapshot timing
+    # quantizes to dispatch boundaries (the Trainer shrinks groups to
+    # land snapshots/decay boundaries exactly).
+    steps_per_dispatch: int = 1
 
 
 @dataclass

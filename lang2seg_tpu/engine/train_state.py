@@ -86,6 +86,32 @@ def create_train_state(cfg: Config, rng=None):
     return model, tx, state
 
 
+def train_step_body(model: Lang2Seg, cfg: Config,
+                    tx: optax.GradientTransformation,
+                    state: TrainState, batch: Dict[str, jnp.ndarray]
+                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step, traceable — shared by the single-step jit, the
+    multi-step scan, and the sharded step (parallel/train.py)."""
+    rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+    trainable, frozen = partition_params(state.params, cfg)
+
+    def loss_fn(tr):
+        losses = model.apply(
+            {"params": merge_params(tr, frozen)}, batch,
+            rngs={"dropout": d_rng, "sampling": s_rng},
+            method=Lang2Seg.train_forward)
+        return losses["total_loss"], losses
+
+    # differentiate wrt the trainable subtree only: the backward
+    # through frozen-only paths (conv1/layer1, all BN) is never built
+    grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
+    updates, new_opt = tx.update(grads, state.opt_state, trainable)
+    new_params = merge_params(optax.apply_updates(trainable, updates),
+                              frozen)
+    return TrainState(step=state.step + 1, params=new_params,
+                      opt_state=new_opt, rng=rng), losses
+
+
 def make_train_step(model: Lang2Seg, cfg: Config,
                     tx: optax.GradientTransformation,
                     donate: bool = False):
@@ -94,23 +120,39 @@ def make_train_step(model: Lang2Seg, cfg: Config,
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        rng, d_rng, s_rng = jax.random.split(state.rng, 3)
-        trainable, frozen = partition_params(state.params, cfg)
-
-        def loss_fn(tr):
-            losses = model.apply(
-                {"params": merge_params(tr, frozen)}, batch,
-                rngs={"dropout": d_rng, "sampling": s_rng},
-                method=Lang2Seg.train_forward)
-            return losses["total_loss"], losses
-
-        # differentiate wrt the trainable subtree only: the backward
-        # through frozen-only paths (conv1/layer1, all BN) is never built
-        grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
-        updates, new_opt = tx.update(grads, state.opt_state, trainable)
-        new_params = merge_params(optax.apply_updates(trainable, updates),
-                                  frozen)
-        return TrainState(step=state.step + 1, params=new_params,
-                          opt_state=new_opt, rng=rng), losses
+        return train_step_body(model, cfg, tx, state, batch)
 
     return train_step
+
+
+def make_multi_train_step(model: Lang2Seg, cfg: Config,
+                          tx: optax.GradientTransformation,
+                          donate: bool = True):
+    """K sequential SGD steps in ONE jit dispatch (`lax.scan` over the
+    step body). Semantically identical to K single-step dispatches —
+    same RNG chain, same per-group SGD — but pays dispatch/readback
+    overhead once per K steps. On a remote/tunneled device each dispatch
+    costs a host round trip comparable to the step compute itself, so
+    this is the difference between link-bound and compute-bound training
+    (cfg.train.steps_per_dispatch wires it into the Trainer).
+
+    `batches`: the K step batches stacked leaf-wise on a new leading
+    axis (see `stack_batches`). Returns (state, losses) with every loss
+    carrying the per-step leading axis K so callers can log each step.
+    """
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state: TrainState, batches: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(st, batch):
+            return train_step_body(model, cfg, tx, st, batch)
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
+def stack_batches(batches) -> Dict[str, Any]:
+    """Stack K host batches leaf-wise onto a leading step axis for
+    `make_multi_train_step` (numpy stack: one contiguous host->device
+    transfer per leaf, riding the single dispatch)."""
+    import numpy as np
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)

@@ -62,18 +62,28 @@ class Trainer:
         self.prefetch_depth = prefetch_depth
         self.model, self.tx, self.state = create_train_state(cfg)
         self.num_shards = max(1, cfg.parallel.num_data)
+        self.steps_per_dispatch = max(1, cfg.train.steps_per_dispatch)
         if self.num_shards > 1:
             # data-parallel: shard_map step over a 1-D device mesh; the
             # loader emits per-device blocks (get_batch(num_shards=n))
             from lang2seg_tpu.parallel.mesh import make_mesh
-            from lang2seg_tpu.parallel.train import make_sharded_train_step
+            from lang2seg_tpu.parallel.train import (
+                make_sharded_multi_step, make_sharded_train_step)
             self.mesh = make_mesh(self.num_shards)
             self.step_fn = make_sharded_train_step(
                 self.model, cfg, self.tx, self.mesh, donate=True)
+            if self.steps_per_dispatch > 1:
+                self.multi_step_fn = make_sharded_multi_step(
+                    self.model, cfg, self.tx, self.mesh, donate=True)
         else:
             self.mesh = None
             self.step_fn = make_train_step(self.model, cfg, self.tx,
                                            donate=True)
+            if self.steps_per_dispatch > 1:
+                from lang2seg_tpu.engine.train_state import \
+                    make_multi_train_step
+                self.multi_step_fn = make_multi_train_step(
+                    self.model, cfg, self.tx, donate=True)
         self.state = self._replicate(self.state)
         self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"),
                                       keep=cfg.train.snapshot_kept)
@@ -132,48 +142,85 @@ class Trainer:
         next_decay = [s for s in t.stepsize if s > start]
         last_losses: Dict[str, float] = {}
         from lang2seg_tpu.data.prefetch import Prefetcher
+        k_cfg = self.steps_per_dispatch
         prefetcher = Prefetcher(
             lambda: self.loader.get_batch("train",
                                           num_shards=self.num_shards),
-            depth=self.prefetch_depth)
+            # multi-step dispatch consumes k batches at once; keep the
+            # loader thread ahead of a whole group
+            depth=max(self.prefetch_depth, k_cfg + 1))
+
+        def next_boundary(i):
+            """First upcoming iter at which host-side work (snapshot, LR
+            decay snapshot, end of run) must happen — multi-step groups
+            never cross it, so snapshots land exactly on cadence."""
+            b = ((i // t.snapshot_iters) + 1) * t.snapshot_iters
+            if next_decay:
+                b = min(b, next_decay[0])
+            return min(b, max_iters)
+
         it = start
         while it < max_iters:
             if profile_dir is not None and it == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir is not None and it == profile_steps[1]:
                 jax.profiler.stop_trace()
+            # group size: k_cfg steps fused into one dispatch when they
+            # fit before the next boundary, else single steps up to it
+            k = k_cfg if it + k_cfg <= next_boundary(it) else 1
             self.timer.tic("step")
-            batch = prefetcher.get()
-            # pass numpy straight into the jitted step: the transfer rides
-            # the single call instead of one eager device op per array
-            # (each eager op is a round trip on the tunneled device)
-            dev_batch = {k: v for k, v in batch.items()
-                         if k not in ("wrapped", "im_scales")}
-            self.state, losses = self.step_fn(self.state, dev_batch)
-            it += 1
 
-            if it % t.display == 0 or it == max_iters:
-                # a host value read is the only reliable device barrier on
-                # the tunneled stack (block_until_ready may return early)
-                last_losses = {k: float(v) for k, v in losses.items()}
-                dt = self.timer.toc("step")
-                msg = ", ".join(f"{k}={v:.4f}" for k, v in
-                                sorted(last_losses.items()))
-                print(f"iter {it}/{max_iters}: {msg}, "
-                      f"speed: {dt:.3f}s/iter")
+            def strip(b):
+                # pass numpy straight into the jitted step: the transfer
+                # rides the single call instead of one eager device op per
+                # array (each eager op is a round trip on the tunneled
+                # device)
+                return {kk: v for kk, v in b.items()
+                        if kk not in ("wrapped", "im_scales")}
+
+            if k == 1:
+                self.state, losses = self.step_fn(
+                    self.state, strip(prefetcher.get()))
             else:
+                from lang2seg_tpu.engine.train_state import stack_batches
+                stacked = stack_batches([strip(prefetcher.get())
+                                         for _ in range(k)])
+                # losses come back with a per-step leading axis
+                self.state, losses = self.multi_step_fn(self.state, stacked)
+            group_dt = None
+
+            for j in range(k):
+                step_losses = (losses if k == 1 else
+                               {kk: v[j] for kk, v in losses.items()})
+                it += 1
+
+                if it % t.display == 0 or it == max_iters:
+                    # a host value read is the only reliable device barrier
+                    # on the tunneled stack (block_until_ready may return
+                    # early)
+                    last_losses = {kk: float(v)
+                                   for kk, v in step_losses.items()}
+                    if group_dt is None:
+                        group_dt = self.timer.toc("step") / k
+                    msg = ", ".join(f"{kk}={v:.4f}" for kk, v in
+                                    sorted(last_losses.items()))
+                    print(f"iter {it}/{max_iters}: {msg}, "
+                          f"speed: {group_dt:.3f}s/iter")
+
+                if it % t.summary_interval == 0:
+                    self.writer.scalars(
+                        it, {kk: float(v) for kk, v in step_losses.items()})
+
+                # snapshot right before an LR decay boundary, then at
+                # cadence (groups never cross these, so they fire at
+                # j == k-1 with the final state of the dispatch)
+                if next_decay and it == next_decay[0]:
+                    self.snapshot(it)
+                    next_decay.pop(0)
+                elif it % t.snapshot_iters == 0:
+                    self.snapshot(it)
+            if group_dt is None:
                 self.timer.toc("step")
-
-            if it % t.summary_interval == 0:
-                self.writer.scalars(it,
-                                    {k: float(v) for k, v in losses.items()})
-
-            # snapshot right before an LR decay boundary, then at cadence
-            if next_decay and it == next_decay[0]:
-                self.snapshot(it)
-                next_decay.pop(0)
-            elif it % t.snapshot_iters == 0:
-                self.snapshot(it)
 
         prefetcher.close()
         if it % t.snapshot_iters != 0:

@@ -52,9 +52,8 @@ def shard_batch(batch: Dict, num_shards: int) -> Dict:
     return batch
 
 
-def make_sharded_train_step(model: Lang2Seg, cfg: Config,
-                            tx: optax.GradientTransformation, mesh: Mesh,
-                            donate: bool = False):
+def _make_step_body(model: Lang2Seg, cfg: Config,
+                    tx: optax.GradientTransformation):
     from lang2seg_tpu.engine.optimizer import merge_params, partition_params
 
     def _step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -85,9 +84,40 @@ def make_sharded_train_step(model: Lang2Seg, cfg: Config,
                                opt_state=new_opt, rng=rng)
         return new_state, losses
 
+    return _step
+
+
+def make_sharded_train_step(model: Lang2Seg, cfg: Config,
+                            tx: optax.GradientTransformation, mesh: Mesh,
+                            donate: bool = False):
     sharded = shard_map(
-        _step, mesh=mesh,
+        _make_step_body(model, cfg, tx), mesh=mesh,
         in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_multi_step(model: Lang2Seg, cfg: Config,
+                            tx: optax.GradientTransformation, mesh: Mesh,
+                            donate: bool = True):
+    """K sequential data-parallel SGD steps in ONE jit dispatch: the
+    single-shard scan runs inside shard_map, so the per-step gradient
+    pmean still rides ICI while dispatch/readback overhead is paid once
+    per K steps (see engine.train_state.make_multi_train_step).
+
+    `batches` leaves carry a leading step axis K and shard along axis 1
+    (stack K loader batches with `engine.train_state.stack_batches`).
+    Returned losses keep the per-step leading axis K."""
+    body = _make_step_body(model, cfg, tx)
+
+    def _multi(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        return jax.lax.scan(body, state, batches)
+
+    sharded = shard_map(
+        _multi, mesh=mesh,
+        in_specs=(P(), P(None, "data")),
         out_specs=(P(), P()),
         check_vma=False)
 

@@ -233,3 +233,50 @@ def test_test_forward_top_mode(trained_step):
     assert np.asarray(out["roi_valid"]).all()
     # top mode must return score-sorted proposals
     # (proposal scores descending by construction)
+
+
+@pytest.mark.slow
+def test_multi_step_matches_serial_steps(trained_step):
+    """make_multi_train_step (K steps scanned in one dispatch) must be
+    semantically identical to K single-step dispatches: same RNG chain,
+    same per-group SGD, same losses. Tolerances allow the f32
+    reassociation noise between the scan-fused and standalone
+    executables (~1e-5 relative observed on CPU); the RNG-chain check
+    is exact."""
+    from lang2seg_tpu.engine.train_state import (make_multi_train_step,
+                                                 stack_batches)
+    cfg, model, state, step, _ = trained_step
+    from lang2seg_tpu.engine.optimizer import (build_optimizer,
+                                               partition_params)
+    trainable, _f = partition_params(state.params, cfg)
+    tx = build_optimizer(trainable, cfg)
+
+    batches = [synthetic_batch(cfg, 1, 2, seed=100 + s) for s in range(2)]
+
+    s_serial = state
+    serial_losses = []
+    for b in batches:
+        s_serial, l = step(s_serial, {k: jnp.asarray(v)
+                                      for k, v in b.items()})
+        serial_losses.append({k: float(v) for k, v in l.items()})
+
+    multi = make_multi_train_step(model, cfg, tx, donate=False)
+    s_multi, ml = multi(state, stack_batches(batches))
+
+    assert int(s_multi.step) == int(s_serial.step) == 2
+    for k in serial_losses[0]:
+        for j in range(2):
+            np.testing.assert_allclose(float(ml[k][j]),
+                                       serial_losses[j][k],
+                                       rtol=5e-5, atol=1e-6)
+    flat_a = jax.tree_util.tree_leaves_with_path(s_serial.params)
+    flat_b = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_leaves_with_path(s_multi.params)}
+    for p, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(p)]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p))
+    # RNG chain advanced identically
+    assert np.array_equal(np.asarray(s_serial.rng),
+                          np.asarray(s_multi.rng))

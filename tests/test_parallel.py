@@ -124,3 +124,42 @@ def test_sharded_step_matches_shardwise_oracle():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_ref[path]), rtol=2e-5, atol=1e-6,
             err_msg=f"param {jax.tree_util.keystr(path)} diverges")
+
+
+@pytest.mark.slow
+def test_sharded_multi_step_matches_serial():
+    """K scanned DP steps in one dispatch == K serial sharded dispatches
+    (same RNG chain, same pmean'd grads)."""
+    from lang2seg_tpu.engine.train_state import stack_batches
+    from lang2seg_tpu.parallel.train import make_sharded_multi_step
+
+    cfg = tiny_config()
+    model, tx, state = create_train_state(cfg)
+    mesh = make_mesh(2)
+    step = make_sharded_train_step(model, cfg, tx, mesh)
+    multi = make_sharded_multi_step(model, cfg, tx, mesh, donate=False)
+
+    batches = [_blocked_batch(cfg, 2, 1, 2) for _ in range(2)]
+    # decorrelate the two steps' data a little
+    batches[1] = {k: (v[::-1] if v.ndim else v)
+                  for k, v in batches[1].items()}
+
+    s_serial = state
+    serial = []
+    for b in batches:
+        s_serial, l = step(s_serial, b)
+        serial.append({k: float(v) for k, v in l.items()})
+
+    host = [jax.tree_util.tree_map(np.asarray, b) for b in batches]
+    s_multi, ml = multi(state, stack_batches(host))
+
+    assert int(s_multi.step) == 2
+    for j in range(2):
+        for k, v in serial[j].items():
+            np.testing.assert_allclose(float(ml[k][j]), v,
+                                       rtol=1e-5, atol=1e-7)
+    leaves_a = jax.tree_util.tree_leaves(s_serial.params)
+    leaves_b = jax.tree_util.tree_leaves(s_multi.params)
+    for va, vb in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=2e-5, atol=1e-7)
