@@ -113,20 +113,25 @@ def bench_train():
     print(json.dumps(line))
 
 
-def _measure_eval():
+def _measure_eval(extent_crop=None):
     """End-to-end eval throughput over a REALISTIC sentence-count
     distribution (RefCOCO averages ~8-10 sentences/image; the reference
     metric is `model time (per sent)`, eval_easy_utils.py:192-193).
     Images carry 3-13 valid sentences and are padded to the smallest
     fitting bucket in (4, 8, 16) — the production bucketing path
     (cli/eval.py --sent-buckets). Throughput counts only VALID
-    expressions, so padding waste shows up as a lower number."""
+    expressions, so padding waste shows up as a lower number.
+
+    extent_crop overrides cfg.data.wire_extent_crop (None = config
+    default) so the wire format's win is measurable on/off."""
     import numpy as np
     from lang2seg_tpu.engine.train_state import create_model, init_params
     from lang2seg_tpu.engine.evaluator import Evaluator
     from lang2seg_tpu.data.synthetic import synthetic_batch
 
     cfg = flagship_config()
+    if extent_crop is not None:
+        cfg.data.wire_extent_crop = extent_crop
     # synthetic "original" sizes run up to canvas/scale (real COCO is
     # <= 640/side); size the device-paste buffers to fit
     cfg.data.max_orig_h = 640
@@ -187,8 +192,8 @@ def _measure_eval():
     return n / best_dt
 
 
-def bench_eval():
-    expr_per_sec = _measure_eval()
+def bench_eval(extent_crop=None):
+    expr_per_sec = _measure_eval(extent_crop)
     print(json.dumps({
         "metric": "eval_expressions_per_sec_per_chip",
         "value": round(expr_per_sec, 3),
@@ -201,9 +206,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--eval", action="store_true",
                     help="measure evaluation throughput instead of training")
+    ap.add_argument("--extent-crop", choices=["on", "off"], default=None,
+                    help="override cfg.data.wire_extent_crop for --eval "
+                         "(A/B the extent-crop wire format)")
     args = ap.parse_args()
     if args.eval:
-        bench_eval()
+        bench_eval(None if args.extent_crop is None
+                   else args.extent_crop == "on")
     else:
         bench_train()
 

@@ -233,6 +233,20 @@ class DataConfig:
     # The bank row count pads to s_pad//2 when the image's refs fit
     # (one extra jit specialization per sentence bucket), else s_pad.
     wire_mask_bank: bool = True
+    # eval wire format: ship only each image's CONTENT EXTENT (the
+    # scaled sh x sw region, rounded up to wire_extent_granularity
+    # buckets) and re-inflate to the full canvas on DEVICE in a tiny
+    # jitted pad (engine/evaluator.py). Real images rarely fill the
+    # (canvas_h, canvas_w) worst-case canvas — a 600x800 image in the
+    # 640x1024 canvas is 27% padding bytes — and the upload link, not
+    # the chip, bounds eval throughput. Exact under the uint8 canvas
+    # contract (padding beyond the extent = rounded pixel means, which
+    # is what the loader writes and what the device pad re-creates);
+    # ignored for float image wires. Granularity must be a multiple of
+    # 8 (bit-packed masks crop at byte boundaries); 128 keeps the
+    # device-pad executable set to a handful per run.
+    wire_extent_crop: bool = True
+    wire_extent_granularity: int = 128
 
 
 @dataclass

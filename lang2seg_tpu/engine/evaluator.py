@@ -70,6 +70,42 @@ class Evaluator:
         self.cfg = cfg
         self.device_paste = device_paste
         means = jnp.asarray(cfg.data.pixel_means_bgr, jnp.float32)
+        d = cfg.data
+        self._extent_crop = bool(d.wire_extent_crop)
+        self._extent_g = int(d.wire_extent_granularity)
+        if self._extent_crop:
+            assert self._extent_g % 8 == 0, \
+                "wire_extent_granularity must be a multiple of 8 " \
+                "(bit-packed masks crop at byte boundaries)"
+        means_u8 = jnp.asarray(
+            np.round(np.asarray(d.pixel_means_bgr)).astype(np.uint8))
+        ch, cw = d.canvas_h, d.canvas_w
+
+        def inflate(images, masks, *, mask_w):
+            """Re-create the loader's full canvases ON DEVICE from
+            content-extent crops (wire format cfg.data.wire_extent_crop):
+            images (..., hb, wb, 3) uint8 -> (..., ch, cw, 3) padded with
+            the ROUNDED pixel means — exactly what the loader writes
+            outside the content extent (data/loader.py:171-173) — and
+            masks (..., hb, wm) uint8 (bit-packed or raw) ->
+            (..., ch, mask_w) zero-padded (the loader writes mask content
+            only inside [:sh, :sw]). Tiny jits, one per crop shape; the
+            outputs stay on device and feed the big fused eval
+            executables, whose shapes never change."""
+            hb, wb = images.shape[-3], images.shape[-2]
+            if wb < cw:
+                pad = jnp.broadcast_to(means_u8,
+                                       images.shape[:-2] + (cw - wb, 3))
+                images = jnp.concatenate([images, pad], axis=-2)
+            if hb < ch:
+                pad = jnp.broadcast_to(means_u8,
+                                       images.shape[:-3] + (ch - hb, cw, 3))
+                images = jnp.concatenate([images, pad], axis=-3)
+            pw = ([(0, 0)] * (masks.ndim - 2)
+                  + [(0, ch - hb), (0, mask_w - masks.shape[-1])])
+            return images, jnp.pad(masks, pw)
+
+        self._inflate = jax.jit(inflate, static_argnames=("mask_w",))
 
         def fwd(p, b):
             if b["images"].dtype == jnp.uint8:
@@ -198,11 +234,31 @@ class Evaluator:
         return (ih <= self.cfg.data.max_orig_h
                 and iw <= self.cfg.data.max_orig_w)
 
-    def _stack_chunk(self, chunk):
+    def _crop_extent(self, sh: int, sw: int):
+        """Bucketed content extent (hb, wb) for the extent-crop wire
+        (cfg.data.wire_extent_crop), or None when cropping is disabled
+        or would not drop any canvas bytes. Buckets round the scaled
+        extent up to wire_extent_granularity so the tiny device-pad jit
+        specializes on a handful of shapes per run, not per image."""
+        if not self._extent_crop:
+            return None
+        g, dd = self._extent_g, self.cfg.data
+        hb = min(dd.canvas_h, -(-int(sh) // g) * g)
+        wb = min(dd.canvas_w, -(-int(sw) // g) * g)
+        if hb >= dd.canvas_h and wb >= dd.canvas_w:
+            return None
+        return hb, wb
+
+    def _stack_chunk(self, chunk, crop: bool = False):
         """Stacked jit operands + extent arrays for one multi-image
         chunk — shared by the single-device vmap dispatch and the mesh
         dispatch. All images must share the sentence-bucket size (and,
-        for the bank wire format, the bank row count)."""
+        for the bank wire format, the bank row count).
+
+        crop: apply the extent-crop wire (upload only the chunk-max
+        bucketed content extent, re-inflate on device) — used by the
+        single-device dispatch; the mesh dispatch keeps raw numpy
+        operands so jit can shard the transfer across devices."""
         s = chunk[0]["labels"].shape[0]
         assert all(b["labels"].shape[0] == s for b in chunk), \
             "chunk needs a uniform sentence-bucket size"
@@ -222,17 +278,35 @@ class Evaluator:
         else:
             gms = [np.asarray(b["gt_masks"]) for b in chunk]
         packed = gms[0].shape[-1] % 8 == 0
-        if packed:
-            gms = [np.packbits(g > 0, axis=-1) for g in gms]
+        imgs = np.stack([np.asarray(b["images"]) for b in chunk])
+        ext = (self._crop_extent(sh.max(), sw.max())
+               if crop and imgs.dtype == np.uint8 else None)
+        if ext is not None:
+            # extent-crop wire: ship the chunk-max bucketed content
+            # extent only; the device pad re-creates the full canvases
+            # exactly (mean fill / zero fill beyond each image's own
+            # extent is what the loader wrote there)
+            hb, wb = ext
+            mask_w = gms[0].shape[-1] // 8 if packed else gms[0].shape[-1]
+            gm_stack = np.stack(
+                [np.packbits(g[..., :hb, :wb] > 0, axis=-1) if packed
+                 else g[..., :hb, :wb] for g in gms])
+            img_op, gm_op = self._inflate(
+                np.ascontiguousarray(imgs[:, :, :hb, :wb]), gm_stack,
+                mask_w=mask_w)
+        else:
+            img_op = imgs
+            gm_op = np.stack([np.packbits(g > 0, axis=-1) if packed
+                              else g for g in gms])
         uids = []
         for _ in chunk:
             self._rng_uid += 1
             uids.append(self._rng_uid)
-        mask_ops = (np.stack(gms),)
+        mask_ops = (gm_op,)
         if use_bank:
             mask_ops += (np.stack([np.asarray(b["mask_ref_idx"], np.int32)
                                    for b in chunk]),)
-        ops = (np.stack([np.asarray(b["images"]) for b in chunk]),
+        ops = (img_op,
                np.stack([np.asarray(b["im_hw"], np.float32)
                          for b in chunk]),
                np.stack([np.asarray(b["labels"]) for b in chunk]),
@@ -242,7 +316,8 @@ class Evaluator:
 
     def _dispatch_chunk(self, params, chunk, valid_flags):
         """Issue one fused multi-image dispatch (no blocking readback)."""
-        ops, scales, s, packed, use_bank = self._stack_chunk(chunk)
+        ops, scales, s, packed, use_bank = self._stack_chunk(chunk,
+                                                             crop=True)
         fn = self._batched_eval_fn(packed, len(chunk), s, bank=use_bank)
         sel, cls, inter, union = fn(params, *ops)
         return {"chunk": chunk, "valid_flags": valid_flags,
@@ -391,17 +466,32 @@ class Evaluator:
             gm = np.asarray(batch["gt_mask_bank" if use_bank
                                   else "gt_masks"])
             packed = gm.shape[-1] % 8 == 0
+            images = np.asarray(batch["images"])
+            ext = (self._crop_extent(sh, sw)
+                   if images.dtype == np.uint8 else None)
+            if ext is not None:
+                # extent-crop wire: upload only the bucketed content
+                # extent; a tiny device pad re-creates the loader's
+                # full canvases exactly (see _crop_extent / inflate)
+                hb, wb = ext
+                mask_w = gm.shape[-1] // 8 if packed else gm.shape[-1]
+                gm_crop = (np.packbits(gm[..., :hb, :wb] > 0, axis=-1)
+                           if packed else gm[..., :hb, :wb])
+                images, gm_op = self._inflate(
+                    np.ascontiguousarray(images[:, :hb, :wb]), gm_crop,
+                    mask_w=mask_w)
+            else:
+                gm_op = np.packbits(gm > 0, axis=-1) if packed else gm
             if use_bank:
                 fn = (self._eval_all_bank_packed if packed
                       else self._eval_all_bank)
-                mask_ops = (np.packbits(gm > 0, axis=-1) if packed else gm,
+                mask_ops = (gm_op,
                             np.asarray(batch["mask_ref_idx"], np.int32))
             else:
                 fn = self._eval_all_packed if packed else self._eval_all
-                mask_ops = (np.packbits(gm > 0, axis=-1) if packed
-                            else gm,)
+                mask_ops = (gm_op,)
             sel, cls, inter, union = fn(
-                params, batch["images"], batch["im_hw"], batch["labels"],
+                params, images, batch["im_hw"], batch["labels"],
                 rng_uid, *mask_ops, np.float32(scale), np.int32(sh),
                 np.int32(sw), np.int32(ih), np.int32(iw))
             rec["sel"], rec["iu"] = sel, (inter, union)

@@ -150,3 +150,94 @@ def test_mask_bank_eval_matches_per_sentence():
     assert s_ps.keys() == s_bk.keys()
     for k in s_ps:
         assert abs(s_ps[k] - s_bk[k]) < 1e-9, (k, s_ps[k], s_bk[k])
+
+
+def _uint8_eval_batch(cfg, num_expr, sh, sw, seed, use_bank=False):
+    """A loader-style uint8 eval batch: mean-filled canvas with random
+    content in [:sh, :sw] (data/loader.py:171-173 contract), zeros
+    beyond the extent in the masks."""
+    rng = np.random.RandomState(seed)
+    d, m = cfg.data, cfg.model
+    canvas = np.empty((1, d.canvas_h, d.canvas_w, 3), np.uint8)
+    canvas[:] = np.round(np.asarray(d.pixel_means_bgr)).astype(np.uint8)
+    canvas[0, :sh, :sw] = rng.randint(0, 256, (sh, sw, 3)).astype(np.uint8)
+    labels = rng.randint(1, m.vocab_size,
+                         (num_expr, d.max_len)).astype(np.int32)
+    gt_boxes = np.zeros((num_expr, 5), np.float32)
+    gt_masks = np.zeros((num_expr, d.canvas_h, d.canvas_w), np.uint8)
+    for i in range(num_expr):
+        x1, y1 = rng.uniform(0, sw * 0.4), rng.uniform(0, sh * 0.4)
+        x2 = min(x1 + rng.uniform(sw * 0.2, sw * 0.5), sw - 1)
+        y2 = min(y1 + rng.uniform(sh * 0.2, sh * 0.5), sh - 1)
+        gt_boxes[i] = [x1, y1, x2, y2, rng.randint(1, m.num_classes)]
+        gt_masks[i, int(y1):int(y2) + 1, int(x1):int(x2) + 1] = 1
+    batch = {"images": canvas, "im_hw": np.asarray([[sh, sw]], np.float32),
+             "labels": labels, "gt_boxes": gt_boxes,
+             "im_scale": np.float32(1.0),
+             "sent_valid": np.ones(num_expr, bool)}
+    if use_bank:
+        batch["gt_mask_bank"] = gt_masks
+        batch["mask_ref_idx"] = np.arange(num_expr, dtype=np.int32)
+    else:
+        batch["gt_masks"] = gt_masks
+    return batch
+
+
+def test_extent_crop_inflate_recreates_canvas():
+    """inflate(crop) must be BIT-EXACT to the loader's full canvases —
+    mean fill beyond the image extent, zero fill beyond the mask crop —
+    for raw and bit-packed masks alike."""
+    cfg = tiny_config()
+    cfg.data.wire_extent_granularity = 32
+    model, tx, state = create_train_state(cfg)
+    ev = Evaluator(model, cfg)
+    b = _uint8_eval_batch(cfg, 2, sh=90, sw=150, seed=0)
+    assert ev._crop_extent(90, 150) == (96, 160)
+    assert ev._crop_extent(128, 192) is None       # full canvas: no crop
+    hb, wb = 96, 160
+    img_crop = np.ascontiguousarray(b["images"][:, :hb, :wb])
+    gm = b["gt_masks"]
+    # raw masks
+    img_full, gm_full = ev._inflate(img_crop, gm[:, :hb, :wb],
+                                    mask_w=gm.shape[-1])
+    np.testing.assert_array_equal(np.asarray(img_full), b["images"])
+    np.testing.assert_array_equal(np.asarray(gm_full), gm)
+    # bit-packed masks
+    packed = np.packbits(gm > 0, axis=-1)
+    _, gmp_full = ev._inflate(img_crop,
+                              np.packbits(gm[:, :hb, :wb] > 0, axis=-1),
+                              mask_w=packed.shape[-1])
+    np.testing.assert_array_equal(np.asarray(gmp_full), packed)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_bank", [False, True])
+def test_extent_crop_eval_matches_full_wire(use_bank):
+    """The extent-crop wire (cfg.data.wire_extent_crop) must produce the
+    exact eval summary the full-canvas wire produces, through both the
+    single-image fused dispatch and the chunked vmap dispatch (including
+    a chunk mixing two different extents)."""
+    cfg_off = tiny_config()
+    cfg_off.data.wire_extent_crop = False
+    cfg_on = tiny_config()
+    cfg_on.data.wire_extent_crop = True
+    cfg_on.data.wire_extent_granularity = 32
+    model, tx, state = create_train_state(cfg_on)
+
+    def batches():
+        return [_uint8_eval_batch(cfg_on, 2, sh=90, sw=150, seed=1,
+                                  use_bank=use_bank),
+                _uint8_eval_batch(cfg_on, 2, sh=64, sw=120, seed=2,
+                                  use_bank=use_bank),
+                _uint8_eval_batch(cfg_on, 2, sh=100, sw=160, seed=3,
+                                  use_bank=use_bank)]
+
+    for n_disp in (1, 2):
+        s_off = Evaluator(model, cfg_off).eval_split(
+            state.params, batches(), images_per_dispatch=n_disp)
+        s_on = Evaluator(model, cfg_on).eval_split(
+            state.params, batches(), images_per_dispatch=n_disp)
+        assert s_off.keys() == s_on.keys()
+        for k in s_off:
+            assert abs(s_off[k] - s_on[k]) < 1e-9, \
+                (n_disp, k, s_off[k], s_on[k])
