@@ -30,6 +30,13 @@ import jax  # noqa: E402
 # vars too late for platform selection on this stack — the config API
 # still works until the backend initializes
 jax.config.update("jax_platforms", "cpu")
+# same for the persistent-cache env vars: when jax was pre-imported the
+# env block above is a no-op, and every compile silently skips the cache
+# (observed: a 700 s train-step compile re-paid on the next run). The
+# config API always lands.
+jax.config.update("jax_compilation_cache_dir", "/tmp/lang2seg_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -89,6 +89,76 @@ def test_train_data_parallel_snapshot_resume(env, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_3"))
 
 
+def test_trainer_multi_step_grouping(env, tmp_path):
+    """Trainer orchestration for cfg.train.steps_per_dispatch > 1,
+    checked with recording step fns (no compiles, no float noise):
+    groups of K steps fuse into one dispatch, groups shrink to singles
+    so snapshot boundaries land exactly, batches are consumed in loader
+    order with none skipped or duplicated, and snapshots fire at
+    cadence. The step MATH equivalence (scan == serial) is pinned
+    separately at the step level (test_network/test_parallel); a
+    trainer-level loss comparison across the two executables is not
+    meaningful — scratch-init training amplifies executable-level f32
+    noise through discrete proposal/target selection within a few
+    steps (~5% observed at iter 6)."""
+    import copy
+    import jax.numpy as jnp
+    cfg, jp, hp, root = env
+    cfg = copy.deepcopy(cfg)
+    cfg.train.snapshot_iters = 4
+    cfg.train.steps_per_dispatch = 3
+    out_dir = str(tmp_path / "fake")
+    loader = GtBatchLoader(jp, hp, cfg, seed=11)
+    tr = Trainer(cfg, loader, out_dir)
+    calls = []
+
+    def fake_single(state, batch):
+        calls.append(("single", np.asarray(batch["expr_uid"])[None]))
+        return (state.replace(step=state.step + 1),
+                {"total_loss": jnp.float32(1.0)})
+
+    def fake_multi(state, batches):
+        uids = np.asarray(batches["expr_uid"])        # (k, E)
+        calls.append(("multi", uids))
+        return (state.replace(step=state.step + uids.shape[0]),
+                {"total_loss": jnp.ones((uids.shape[0],), jnp.float32)})
+
+    tr.step_fn = fake_single
+    tr.multi_step_fn = fake_multi
+    tr.train(max_iters=6)
+
+    # groups: [3 (iters 1-3)], [1 (iter 4, snapshot)], [1], [1 (iter 6)]
+    assert [c[0] for c in calls] == ["multi", "single", "single", "single"]
+    assert int(tr.state.step) == 6
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_4"))
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_6"))
+    # batches consumed in exact loader order, none skipped or duplicated
+    replay = GtBatchLoader(jp, hp, cfg, seed=11)
+    expected = np.stack([np.asarray(replay.get_batch("train")["expr_uid"])
+                         for _ in range(6)])
+    np.testing.assert_array_equal(
+        np.concatenate([c[1] for c in calls]), expected)
+
+
+@pytest.mark.slow
+def test_trainer_multi_step_dispatch(env, tmp_path):
+    """cfg.train.steps_per_dispatch > 1 through the REAL scan executable:
+    the run completes with finite losses and exact snapshot cadence."""
+    import copy
+    cfg, jp, hp, root = env
+    cfg = copy.deepcopy(cfg)
+    cfg.train.snapshot_iters = 4
+    cfg.train.steps_per_dispatch = 3
+    out_dir = str(tmp_path / "multi")
+    loader = GtBatchLoader(jp, hp, cfg, seed=7)
+    tr = Trainer(cfg, loader, out_dir)
+    losses = tr.train(max_iters=6)
+    assert int(tr.state.step) == 6
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_4"))
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "iter_6"))
+    assert np.isfinite(losses["total_loss"])
+
+
 def test_checkpoint_tolerant_restore():
     import jax.numpy as jnp
     from lang2seg_tpu.engine.checkpoint import tolerant_restore_params
