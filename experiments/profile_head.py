@@ -15,6 +15,9 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lang2seg_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+from lang2seg_tpu.utils.jax_cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()  # site plugin pre-imports jax: env vars alone are a no-op
+
 import numpy as np
 import jax
 import jax.numpy as jnp
