@@ -34,9 +34,32 @@ import jax.numpy as jnp  # noqa: E402
 from ablate import flagship_cfg  # noqa: E402
 
 
-def time_k(cfg, num_images, num_expr, k, total_steps, passes=3):
+def _uint8_wire(cfg, b):
+    """Convert a synthetic batch to the production TRAIN wire formats:
+    raw uint8 BGR images (mean-subtract on device, network.py:180) and
+    bit-packed masks when the config says so — what the loader actually
+    ships, so the upload mode measures real per-step transfer."""
+    import numpy as np
+    out = dict(b)
+    means = np.asarray(cfg.data.pixel_means_bgr, np.float32)
+    out["images"] = np.clip(b["images"] + means, 0, 255).astype(np.uint8)
+    if cfg.data.wire_packed_masks and b["gt_masks"].shape[-1] % 8 == 0:
+        out["gt_masks"] = np.packbits(b["gt_masks"] > 0, axis=-1)
+    return out
+
+
+def time_k(cfg, num_images, num_expr, k, total_steps, passes=3,
+           upload=False):
     """expr/s at K steps per dispatch, best of `passes` windows of
-    total_steps//k dispatches, value-readback synchronized."""
+    total_steps//k dispatches, value-readback synchronized.
+
+    upload=False: batches live on device across the window (pure
+    dispatch-overhead measurement, bench.py protocol). upload=True:
+    numpy operands re-uploaded EVERY dispatch in the loader wire
+    formats — the Trainer's real regime on this tunneled link, and the
+    regime where multi-step trades per-dispatch RTT against lost
+    upload/compute pipelining (K batches must land before the scan
+    starts; single steps overlap batch i+1's transfer with step i)."""
     from lang2seg_tpu.data.synthetic import synthetic_batch
     from lang2seg_tpu.engine.train_state import (create_train_state,
                                                  make_multi_train_step,
@@ -44,13 +67,16 @@ def time_k(cfg, num_images, num_expr, k, total_steps, passes=3):
                                                  stack_batches)
     model, tx, state = create_train_state(cfg)
     b = synthetic_batch(cfg, num_images, num_expr)
+    if upload:
+        b = _uint8_wire(cfg, b)
     if k == 1:
         step = make_train_step(model, cfg, tx, donate=True)
-        batch = {kk: jnp.asarray(v) for kk, v in b.items()}
+        batch = b if upload else {kk: jnp.asarray(v) for kk, v in b.items()}
     else:
         step = make_multi_train_step(model, cfg, tx, donate=True)
-        batch = {kk: jnp.asarray(v)
-                 for kk, v in stack_batches([b] * k).items()}
+        stacked = stack_batches([b] * k)
+        batch = stacked if upload else {kk: jnp.asarray(v)
+                                        for kk, v in stacked.items()}
 
     def last_loss(losses):
         l = losses["total_loss"]
@@ -77,10 +103,15 @@ def main():
                     help="total SGD steps per timed window")
     ap.add_argument("--images", type=int, default=2)
     ap.add_argument("--exprs", type=int, default=16)
+    ap.add_argument("--upload", action="store_true",
+                    help="re-upload numpy batches every dispatch "
+                         "(Trainer's real regime) instead of "
+                         "device-resident operands")
     args = ap.parse_args()
     for k in [int(x) for x in args.ks.split(",")]:
-        eps = time_k(flagship_cfg(), args.images, args.exprs, k, args.steps)
-        print(json.dumps({"steps_per_dispatch": k,
+        eps = time_k(flagship_cfg(), args.images, args.exprs, k, args.steps,
+                     upload=args.upload)
+        print(json.dumps({"steps_per_dispatch": k, "upload": args.upload,
                           "expr_per_sec": round(eps, 2)}), flush=True)
 
 
