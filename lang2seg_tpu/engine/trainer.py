@@ -188,18 +188,29 @@ class Trainer:
                 # losses come back with a per-step leading axis
                 self.state, losses = self.multi_step_fn(self.state, stacked)
             group_dt = None
+            host_losses = None
+
+            def step_losses_of(j):
+                # materialize the whole group's losses in ONE readback
+                # per key, lazily (a per-element float() would pay a
+                # tunnel round trip per (key, step); no readback at all
+                # when neither display nor summary lands in the group)
+                nonlocal host_losses
+                if host_losses is None:
+                    import numpy as np
+                    host_losses = {kk: np.asarray(v)
+                                   for kk, v in losses.items()}
+                return {kk: float(v if k == 1 else v[j])
+                        for kk, v in host_losses.items()}
 
             for j in range(k):
-                step_losses = (losses if k == 1 else
-                               {kk: v[j] for kk, v in losses.items()})
                 it += 1
 
                 if it % t.display == 0 or it == max_iters:
                     # a host value read is the only reliable device barrier
                     # on the tunneled stack (block_until_ready may return
                     # early)
-                    last_losses = {kk: float(v)
-                                   for kk, v in step_losses.items()}
+                    last_losses = step_losses_of(j)
                     if group_dt is None:
                         group_dt = self.timer.toc("step") / k
                     msg = ", ".join(f"{kk}={v:.4f}" for kk, v in
@@ -208,8 +219,7 @@ class Trainer:
                           f"speed: {group_dt:.3f}s/iter")
 
                 if it % t.summary_interval == 0:
-                    self.writer.scalars(
-                        it, {kk: float(v) for kk, v in step_losses.items()})
+                    self.writer.scalars(it, step_losses_of(j))
 
                 # snapshot right before an LR decay boundary, then at
                 # cadence (groups never cross these, so they fire at
