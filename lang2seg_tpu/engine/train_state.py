@@ -154,5 +154,5 @@ def stack_batches(batches) -> Dict[str, Any]:
     """Stack K host batches leaf-wise onto a leading step axis for
     `make_multi_train_step` (numpy stack: one contiguous host->device
     transfer per leaf, riding the single dispatch)."""
-    import numpy as np
+    import numpy as np  # local: this module otherwise never needs numpy
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)

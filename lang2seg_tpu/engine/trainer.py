@@ -197,7 +197,6 @@ class Trainer:
                 # when neither display nor summary lands in the group)
                 nonlocal host_losses
                 if host_losses is None:
-                    import numpy as np
                     host_losses = {kk: np.asarray(v)
                                    for kk, v in losses.items()}
                 return {kk: float(v if k == 1 else v[j])
