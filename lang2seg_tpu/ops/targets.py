@@ -48,16 +48,6 @@ def _guard(x):
     return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0) if on else x
 
 
-def _random_rank(key, mask):
-    """Rank of each True element of `mask` in a uniformly-random order
-    (False elements get rank >= count). Enables 'choose k without
-    replacement' as rank < k."""
-    prio = jax.random.uniform(key, mask.shape) + (~mask) * _BIG
-    order = jnp.argsort(prio)                   # random perm of True first
-    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(mask.shape[0]))
-    return ranks
-
-
 class AnchorTargets(NamedTuple):
     labels: jnp.ndarray            # (N,) int32 in {-1, 0, 1}
     bbox_targets: jnp.ndarray      # (N, 4)
@@ -99,16 +89,36 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     else:
         neg = neg & ~pos
 
-    # subsample positives to num_fg, negatives to batch - num_pos_kept
+    # subsample positives to num_fg, negatives to batch - num_pos_kept.
+    # One fused rank pass over both classes: sort a composite integer key
+    # (pos draws < neg draws < rest) so positives occupy overall ranks
+    # [0, n_pos) and negatives [n_pos, n_pos + n_neg). Within each class
+    # the key is the bit pattern of that class's own uniform draw —
+    # bitcast is order-preserving for floats in [0, 1) — so the
+    # within-class order (and therefore the selected set) is EXACTLY the
+    # old two-pass rank result (the oracle lives in tests/test_targets.py:
+    # test_fused_subsample_matches_two_pass), at half the sort/scatter cost
+    # (the two 30720-wide rank passes were ~10 ms of the train step).
     k_pos, k_neg = jax.random.split(key)
     num_fg = int(fg_fraction * rpn_batchsize)
-    pos_rank = _random_rank(k_pos, pos)
-    pos_kept = pos & (pos_rank < num_fg)
-    num_pos_kept = jnp.sum(pos_kept)
+    bits_pos = jax.lax.bitcast_convert_type(
+        jax.random.uniform(k_pos, pos.shape), jnp.int32)
+    bits_neg = jax.lax.bitcast_convert_type(
+        jax.random.uniform(k_neg, neg.shape), jnp.int32)
+    # [0,1) floats bitcast to [0, 0x3F800000); +0x40000000 keeps the neg
+    # block disjoint and below the 0x7FFFFFFF "rest" sentinel
+    ckey = jnp.where(pos, bits_pos,
+                     jnp.where(neg, bits_neg + jnp.int32(0x40000000),
+                               jnp.int32(0x7FFFFFFF)))
+    order = jnp.argsort(ckey)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(pos.shape[0]))
+
+    n_pos = jnp.sum(pos)
+    pos_kept = pos & (rank < num_fg)
+    num_pos_kept = jnp.minimum(n_pos, num_fg)
 
     num_bg = rpn_batchsize - num_pos_kept
-    neg_rank = _random_rank(k_neg, neg)
-    neg_kept = neg & (neg_rank < num_bg)
+    neg_kept = neg & ((rank - n_pos) < num_bg)
 
     labels = jnp.where(pos_kept, 1, jnp.where(neg_kept, 0, -1)).astype(jnp.int32)
 
@@ -177,11 +187,10 @@ def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     bg_count = jnp.sum(bg)
 
     k_fg, k_bg, k_rep = jax.random.split(key, 3)
-    # index of the candidate holding fg-rank r (random order over fg).
-    # argsort(_random_rank(k, m)) == argsort(prio) exactly (the rank
-    # array is the inverse permutation of argsort(prio); sorting it
-    # recovers argsort(prio)) — so build the by-rank order with ONE sort
-    # instead of _random_rank's sort+scatter+sort.
+    # index of the candidate holding fg-rank r (random order over fg):
+    # argsort over the masked random priorities puts the True elements
+    # first in a uniformly-random order, directly giving the by-rank
+    # gather order with one sort (no inverse-permutation scatter).
     fg_by_rank = jnp.argsort(
         jax.random.uniform(k_fg, fg.shape) + (~fg) * _BIG)
     bg_by_rank = jnp.argsort(

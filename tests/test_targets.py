@@ -223,3 +223,47 @@ def test_proposal_targets_all_fg_cyclic_fill(rng):
     assert counts.sum() == 16
     lo, hi = 16 // 6, -(-16 // 6)
     assert all(c in (lo, hi) for c in active), counts
+
+
+def test_fused_subsample_matches_two_pass():
+    """The one-sort composite-key subsampler in anchor_targets selects
+    EXACTLY the anchors the original two-pass rank subsampler selected
+    (the fused sort orders within-class by the same uniform draws, so the
+    kept sets are bit-identical, not just distributionally equal)."""
+    anchors, gt, gt_valid = make_scene()
+
+    def two_pass_labels(key):
+        # verbatim oracle: the pre-fusion implementation
+        a = anchors
+        inside = ((a[:, 0] >= 0) & (a[:, 1] >= 0)
+                  & (a[:, 2] < 256) & (a[:, 3] < 160))
+        iou = box_iou(a, gt[:, :4])
+        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        iou = jnp.where(inside[:, None], iou, -1.0)
+        max_iou = jnp.max(iou, axis=1)
+        gt_max = jnp.max(iou, axis=0)
+        is_gt_best = jnp.any((iou == gt_max[None, :]) & gt_valid[None, :]
+                             & (gt_max[None, :] > -1.0), axis=1) & inside
+        neg = inside & (max_iou < 0.3)
+        pos = inside & (is_gt_best | (max_iou >= 0.7))
+        neg = neg & ~pos
+
+        def random_rank(k, mask):
+            prio = jax.random.uniform(k, mask.shape) + (~mask) * 1e9
+            order = jnp.argsort(prio)
+            return jnp.zeros_like(order).at[order].set(
+                jnp.arange(mask.shape[0]))
+
+        k_pos, k_neg = jax.random.split(key)
+        pos_rank = random_rank(k_pos, pos)
+        pos_kept = pos & (pos_rank < 128)
+        num_bg = 256 - jnp.sum(pos_kept)
+        neg_kept = neg & (random_rank(k_neg, neg) < num_bg)
+        return np.asarray(
+            jnp.where(pos_kept, 1, jnp.where(neg_kept, 0, -1)))
+
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        got = np.asarray(
+            anchor_targets(anchors, gt, gt_valid, 160.0, 256.0, key).labels)
+        np.testing.assert_array_equal(got, two_pass_labels(key))
