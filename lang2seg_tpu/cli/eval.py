@@ -39,6 +39,12 @@ def build_parser():
                    help="fuse N same-bucket images into one jit call "
                         "(amortizes the per-dispatch round trip on "
                         "tunneled/remote devices; 1 = per-image)")
+    p.add_argument("--reference-exact", action="store_true",
+                   help="reproduce the reference's metric chain "
+                        "bit-for-bit on host (scipy-imresize bytescale "
+                        "paste-back + PIL-nearest resizes) instead of "
+                        "the fast device-paste protocol; measured "
+                        "deltas: BASELINE.md")
     p.add_argument("--cfg", default=None)
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     return p
@@ -50,6 +56,8 @@ def main(argv=None):
     apply_variant(cfg, args.variant)
     cfg.data.dataset = args.dataset
     cfg.data.split_by = args.split_by
+    if args.reference_exact:
+        cfg.data.reference_exact_masks = True
     if args.dataset == "refcocog":
         cfg.data.max_len = 20
     if args.image_dir:
@@ -80,7 +88,8 @@ def main(argv=None):
     else:
         print("WARNING: no snapshot found, evaluating fresh init")
 
-    evaluator = Evaluator(model, cfg)
+    evaluator = Evaluator(model, cfg,
+                          reference_exact=args.reference_exact)
     for split in args.splits:
         res = evaluator.eval_split(
             state.params,

@@ -247,6 +247,14 @@ class DataConfig:
     # device-pad executable set to a handful per run.
     wire_extent_crop: bool = True
     wire_extent_granularity: int = 128
+    # REFERENCE-EXACT mask prep: nearest-resize GT masks to the scaled
+    # extent through scipy-imresize/PIL semantics (accumulated-float
+    # source indexing, gt_mrcn_loader.py:210) instead of the native
+    # exact-rational nearest. Boundary pixels differ between the two;
+    # pair with Evaluator(reference_exact=True) to reproduce the
+    # reference's metric chain bit-for-bit and to bound the deviation
+    # (tests/test_ref_exact.py, BASELINE.md).
+    reference_exact_masks: bool = False
 
 
 @dataclass

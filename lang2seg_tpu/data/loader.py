@@ -181,6 +181,16 @@ class GtBatchLoader(Loader):
                              sw: int) -> np.ndarray:
         d = self.cfg.data
         rles = [self.Refs[rid]["rle"] for rid in ref_ids]
+        if d.reference_exact_masks:
+            # scipy-imresize/PIL nearest (gt_mrcn_loader.py:210) — the
+            # reference's boundary-pixel semantics, for the
+            # reference-exact eval mode
+            from lang2seg_tpu.utils.metrics import scipy_imresize
+            out = np.zeros((len(rles), d.canvas_h, d.canvas_w), np.uint8)
+            for i, r in enumerate(rles):
+                out[i, :sh, :sw] = scipy_imresize(
+                    rle_codec.decode(r), (sh, sw), "nearest")
+            return out
         return rle_codec.decode_resize_batch(rles, d.canvas_h, d.canvas_w,
                                              sh, sw)
 

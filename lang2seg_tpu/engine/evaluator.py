@@ -27,7 +27,8 @@ from lang2seg_tpu.config import Config
 from lang2seg_tpu.models.network import Lang2Seg
 from lang2seg_tpu.ops.boxes import decode_boxes
 from lang2seg_tpu.utils.metrics import (SegEvalAccumulator, nearest_resize,
-                                        recover_masks)
+                                        recover_masks, recover_masks_ref,
+                                        scipy_imresize)
 
 
 def _expand_mask_bank(bank: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
@@ -60,14 +61,26 @@ def _host_expand_bank(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 class Evaluator:
     def __init__(self, model: Lang2Seg, cfg: Config,
-                 device_paste: bool = True):
+                 device_paste: bool = True, reference_exact: bool = False):
         """device_paste: run the mask paste-back + IoU accumulation on
         device with fixed-size original-resolution buffers (COCO images
         are <= 640/side). The host path (utils/metrics.recover_masks) is
         the parity oracle; measured ~2.5x eval throughput (the host loop
-        was the eval bottleneck: ~270ms/image of single-core NumPy)."""
+        was the eval bottleneck: ~270ms/image of single-core NumPy).
+
+        reference_exact: reproduce the reference's metric chain
+        bit-for-bit on host — scipy-imresize paste-back with its
+        bytescale adaptive rescale (utils/mask_utils.py:43-72, threshold
+        model/test.py:334) and PIL-nearest GT resize (test.py:338) —
+        instead of the direct [0,1]-prob bilinear + fixed 122/255 cut.
+        Forces the host-paste path; pair with
+        cfg.data.reference_exact_masks for the loader side. Measured
+        deltas vs the default mode: BASELINE.md."""
         self.model = model
         self.cfg = cfg
+        self.reference_exact = reference_exact
+        if reference_exact:
+            device_paste = False
         self.device_paste = device_paste
         means = jnp.asarray(cfg.data.pixel_means_bgr, jnp.float32)
         d = cfg.data
@@ -546,13 +559,25 @@ class Evaluator:
             for i in range(s):
                 if sent_valid is not None and not sent_valid[i]:
                     continue
-                pasted = recover_masks(mask_probs[i:i + 1],
-                                       sel_boxes[i:i + 1].copy(), ih, iw)[0]
-                pred_mask = (pasted * 255.0 > 122.0).astype(np.uint8)
                 gm = np.asarray(batch["gt_masks"][i])
-                # canvas-sized gt: crop to the scaled extent then
-                # nearest-resize to original size (test.py:338)
-                gt_orig = nearest_resize(gm[:sh, :sw], ih, iw)
+                if self.reference_exact:
+                    # reference chain bit-for-bit: bytescale+PIL-bilinear
+                    # paste (mask_utils.py:43-72), > 122 cut
+                    # (test.py:334), PIL-nearest GT resize (test.py:338)
+                    pasted = recover_masks_ref(
+                        mask_probs[i:i + 1],
+                        sel_boxes[i:i + 1].copy(), ih, iw)[0]
+                    pred_mask = (pasted > 122.0).astype(np.uint8)
+                    gt_orig = scipy_imresize(gm[:sh, :sw], (ih, iw),
+                                             "nearest")
+                else:
+                    pasted = recover_masks(mask_probs[i:i + 1],
+                                           sel_boxes[i:i + 1].copy(),
+                                           ih, iw)[0]
+                    pred_mask = (pasted * 255.0 > 122.0).astype(np.uint8)
+                    # canvas-sized gt: crop to the scaled extent then
+                    # nearest-resize to original size (test.py:338)
+                    gt_orig = nearest_resize(gm[:sh, :sw], ih, iw)
                 acc.add_segmentation(pred_mask, gt_orig)
 
     def eval_image(self, params, batch: Dict[str, np.ndarray],

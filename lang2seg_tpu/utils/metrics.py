@@ -61,6 +61,65 @@ def nearest_resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return img[np.ix_(ys, xs)]
 
 
+def bytescale(data: np.ndarray) -> np.ndarray:
+    """scipy.misc.bytescale semantics: uint8 passes through untouched;
+    any other dtype is rescaled by ITS OWN min/max to [0, 255] and
+    rounded half-up to uint8. Inside the reference's mask paste-back
+    (scipy imresize -> toimage, utils/mask_utils.py:63-67) this acts as
+    an accidental per-mask adaptive threshold: a mask whose
+    probabilities span e.g. [0.3, 0.6] is stretched to [0, 255] before
+    the fixed 122 cut."""
+    if data.dtype == np.uint8:
+        return data
+    cmin = float(data.min())
+    cmax = float(data.max())
+    cscale = cmax - cmin
+    if cscale == 0.0:
+        cscale = 1.0
+    scaled = (data.astype(np.float64) - cmin) * (255.0 / cscale)
+    return (np.clip(scaled, 0, 255) + 0.5).astype(np.uint8)
+
+
+def scipy_imresize(arr: np.ndarray, size, interp: str = "bilinear"
+                   ) -> np.ndarray:
+    """Reference-era scipy.misc.imresize: bytescale to uint8, resize
+    through PIL ('L' mode), return uint8. scipy's imresize was itself
+    only this wrapper, so calling PIL reproduces the reference's resize
+    bit-for-bit — including PIL NEAREST's accumulated-float source
+    indexing, which differs from exact-rational nearest on boundary
+    pixels (measured in tests/test_ref_exact.py)."""
+    from PIL import Image
+    data = bytescale(np.ascontiguousarray(arr))
+    h, w = data.shape
+    im = Image.frombytes("L", (w, h), data.tobytes())
+    resample = {"nearest": Image.NEAREST,
+                "bilinear": Image.BILINEAR}[interp]
+    oh, ow = int(size[0]), int(size[1])
+    out = im.resize((ow, oh), resample)
+    return np.asarray(out, dtype=np.uint8).reshape(oh, ow)
+
+
+def recover_masks_ref(mask_probs: np.ndarray, boxes: np.ndarray,
+                      ih: int, iw: int) -> np.ndarray:
+    """REFERENCE-EXACT paste-back (utils/mask_utils.py:43-72): mask
+    probabilities x255 as float -> scipy imresize 'bilinear' (bytescale
+    + PIL) to the box extent -> uint8 painted into a zero uint8 canvas.
+    The caller applies the reference's `> 122.` cut (model/test.py:334).
+    Returns (N, ih, iw) uint8 in [0, 255]."""
+    n = mask_probs.shape[0]
+    out = np.zeros((n, ih, iw), np.uint8)
+    b = boxes.astype(np.float64).copy()
+    b[:, 0::2] = np.clip(b[:, 0::2], 0, iw - 1)
+    b[:, 1::2] = np.clip(b[:, 1::2], 0, ih - 1)
+    for i in range(n):
+        m = mask_probs[i].astype(np.float32) * 255.0
+        h = int(b[i, 3] - b[i, 1] + 1)
+        w = int(b[i, 2] - b[i, 0] + 1)
+        x, y = int(b[i, 0]), int(b[i, 1])
+        out[i, y:y + h, x:x + w] = scipy_imresize(m, (h, w), "bilinear")
+    return out
+
+
 def recover_masks(mask_probs: np.ndarray, boxes: np.ndarray,
                   ih: int, iw: int) -> np.ndarray:
     """Paste SxS mask probabilities back into image canvases.
