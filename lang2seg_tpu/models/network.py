@@ -59,6 +59,24 @@ def weighted_softmax_ce(logits, labels, weights):
     return jnp.sum(ce * weights) / denom
 
 
+def response_target(gt_mask: jnp.ndarray, stride: int,
+                    h: int, w: int) -> jnp.ndarray:
+    """Nearest-downsample a (canvas_h, canvas_w) GT mask to the (h, w)
+    response map by stride-center sampling: cell k reads canvas pixel
+    stride*k + stride//2.
+
+    The reference nearest-resizes the scaled-image-sized mask to the
+    exact response-map size through scipy imresize / PIL NEAREST
+    (network_7f_response.py:415), whose accumulated-float indexing
+    picks int((k+0.5)*ih/h_map) — identical to stride-center sampling
+    whenever the image extent is an exact stride multiple and drifting
+    by at most stride//2 source pixels on the final cells otherwise.
+    The agreement is pinned against a scipy-semantics oracle in
+    tests/test_ref_exact.py::test_response_target_vs_scipy_oracle."""
+    gm = gt_mask.astype(jnp.float32)
+    return gm[stride // 2::stride, stride // 2::stride][:h, :w]
+
+
 def bce_with_logits(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
@@ -316,11 +334,12 @@ class Lang2Seg(nn.Module):
         # ---- response loss (network_7f_response.py:411-428) ----
         if m.use_response_loss and m.use_language:
             stride = m.feat_stride
-            # nearest-downsample canvas mask by stride (center sample);
-            # normalized over the true-image region only (the reference
-            # computes on the exact-size map)
-            gm = gt_masks[:, 0].astype(jnp.float32)
-            tgt = gm[:, stride // 2::stride, stride // 2::stride][:, :h, :w]
+            # nearest-downsample canvas mask by stride (center sample,
+            # scipy-oracle-pinned — see response_target); normalized
+            # over the true-image region only (the reference computes
+            # on the exact-size map)
+            tgt = jax.vmap(
+                lambda g: response_target(g, stride, h, w))(gt_masks[:, 0])
             fy = jnp.arange(h)[None, :, None] * stride < im_hw[:, 0, None, None]
             fx = jnp.arange(w)[None, None, :] * stride < im_hw[:, 1, None, None]
             vmask = (fy & fx).astype(jnp.float32)

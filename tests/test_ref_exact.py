@@ -307,6 +307,66 @@ def test_fr_poly_cv2_vs_maskapi_measured_bound():
     assert worst["small_simple"] > 0.45, worst
 
 
+# ---------- response-target downsampling oracle ----------
+
+def _blob_mask(rng, h, w):
+    """Contiguous elliptical blob — the shape class real GT masks are."""
+    cy, cx = rng.uniform(0.2, 0.8) * h, rng.uniform(0.2, 0.8) * w
+    ry, rx = rng.uniform(0.1, 0.4) * h, rng.uniform(0.1, 0.4) * w
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) < 1.0
+            ).astype(np.uint8)
+
+
+def _boundary_cells(m: np.ndarray) -> np.ndarray:
+    """Cells within one 8-neighbourhood step of a value change."""
+    pad = np.pad(m, 1, mode="edge")
+    nb = np.stack([pad[dy:dy + m.shape[0], dx:dx + m.shape[1]]
+                   for dy in range(3) for dx in range(3)])
+    return nb.max(0) != nb.min(0)
+
+
+def test_response_target_vs_scipy_oracle():
+    """Pin the train-side response-target downsampling
+    (models/network.response_target: stride-center canvas sampling)
+    against the reference's scipy-imresize NEAREST to the exact
+    response-map size (network_7f_response.py:415).
+
+    Measured invariants this asserts: when the image extent is a
+    stride multiple the two are BIT-IDENTICAL; on non-multiple extents
+    PIL's accumulated-float indexing drifts by < stride source pixels,
+    so every disagreeing cell lies ON the mask boundary (verified on
+    blob masks — the real GT shape class). The loss input therefore
+    deviates only on boundary response cells."""
+    from lang2seg_tpu.models.network import response_target
+    import jax.numpy as jnp
+
+    stride, ch, cw = 16, 256, 320
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        ih = int(rng.randint(stride * 3, ch + 1))
+        iw = int(rng.randint(stride * 3, cw + 1))
+        if trial < 4:  # force exact-multiple cases
+            ih -= ih % stride
+            iw -= iw % stride
+        hmap = -(-ih // stride)  # ceil: the reference's map size
+        wmap = -(-iw // stride)
+        gm = np.zeros((ch, cw), np.uint8)
+        gm[:ih, :iw] = _blob_mask(rng, ih, iw)
+        got = np.asarray(response_target(jnp.asarray(gm), stride,
+                                         ch // stride, cw // stride))
+        # valid-region cells (the loss masks out the padding cells)
+        got_valid = got[:hmap, :wmap]
+        want = scipy_imresize(gm[:ih, :iw], (hmap, wmap),
+                              "nearest").astype(np.float32)
+        disagree = got_valid != want
+        if ih % stride == 0 and iw % stride == 0:
+            assert not disagree.any(), (ih, iw)  # bit-identical
+        else:
+            off_boundary = disagree & ~_boundary_cells(want)
+            assert not off_boundary.any(), (ih, iw, int(disagree.sum()))
+
+
 # ---------- loader + evaluator reference-exact modes ----------
 
 def test_loader_reference_exact_masks(tmp_path):
