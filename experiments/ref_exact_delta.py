@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--decay-at", type=int, default=450,
+                    help="step at which LR decays x0.1 (0 = never)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backbone", default="resnet26")
     ap.add_argument("--canvas", default="128x192")
@@ -58,9 +60,14 @@ def main():
     ch, cw = (int(x) for x in args.canvas.split("x"))
     cfg.data.canvas_h, cfg.data.canvas_w = ch, cw
     cfg.data.max_orig_h, cfg.data.max_orig_w = ch, cw
+    # identical recipe to tests/test_learning.py / learn_synthetic.py —
+    # the proven closed-loop config (det_acc 0->1.0, IoU 0.02->0.82)
     cfg.model.backbone = args.backbone
     cfg.model.vocab_size = 16
     cfg.model.normalize_response = True
+    cfg.model.num_filters = 1
+    cfg.model.response_gate = "sigmoid"
+    cfg.model.use_response_loss = True
     cfg.train.learning_rate = args.lr
     cfg.train.grad_clip_norm = 10.0
     cfg.train.rpn_pre_nms_top_n = 512
@@ -68,7 +75,7 @@ def main():
     cfg.train.roi_batch_size = 32
     cfg.test.rpn_pre_nms_top_n = 256
     cfg.test.rpn_post_nms_top_n = 32
-    cfg.train.stepsize = (10 ** 9,)
+    cfg.train.stepsize = (args.decay_at or 10 ** 9,)
     cfg.model.num_classes = 8
 
     train_batch, eval_batches = synthetic_learnable_set(cfg, args.images,

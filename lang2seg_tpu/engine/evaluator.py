@@ -200,10 +200,21 @@ class Evaluator:
                 scale[0], sh[0], sw[0], ih[0], iw[0])
             return sel[None], cls[None], inter[None], union[None]
 
-        fn = jax.jit(shard_map(
+        mapped = shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(),) + (P("data"),) * 10,
-            out_specs=(P("data"),) * 4, check_vma=False))
+            out_specs=(P("data"),) * 4, check_vma=False)
+
+        def wrapped(p, *ops):
+            # all-gather the (tiny: per-image sel boxes + per-sentence
+            # scalars) outputs to every device so each PROCESS of a
+            # multi-host mesh can drain the full chunk on host; free on
+            # a single host, one small ICI gather on a pod
+            rep = jax.sharding.NamedSharding(mesh, P())
+            return tuple(jax.lax.with_sharding_constraint(o, rep)
+                         for o in mapped(p, *ops))
+
+        fn = jax.jit(wrapped)
         self._mesh_fns[key] = fn
         return fn
 
@@ -694,6 +705,21 @@ class Evaluator:
         acc = SegEvalAccumulator()
         done = 0
 
+        # multi-host: every process runs this loop over the SAME batch
+        # list (the loader contract: eval batches are replicated, work
+        # splits across the mesh's devices). Host operands must become
+        # global arrays explicitly — jit cannot shard plain numpy over
+        # devices this process cannot address.
+        multi = jax.process_count() > 1
+        if multi:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep_s = NamedSharding(mesh, P())
+            data_s = NamedSharding(mesh, P("data"))
+            params = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_callback(
+                    np.shape(x), rep_s,
+                    lambda idx, a=np.asarray(x): a[idx]), params)
+
         # group by sentence-bucket size so bucketed production iterators
         # (loader.iter_test_batches(buckets=...)) work: each mesh
         # dispatch stacks one image per device and jit specializes on S.
@@ -722,6 +748,10 @@ class Evaluator:
                     valid_flags.append(np.zeros_like(valid_flags[0]))
 
                 ops, scales, s, packed, use_bank = self._stack_chunk(chunk)
+                if multi:
+                    ops = tuple(jax.make_array_from_callback(
+                        op.shape, data_s, lambda idx, o=op: o[idx])
+                        for op in ops)
                 fn = self._mesh_eval_fn(mesh, packed, s)
                 sel, cls, inter, union = fn(params, *ops)
                 prev = done

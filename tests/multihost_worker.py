@@ -56,6 +56,44 @@ def train_mode(mesh):
     print(f"TRAINLOSS {loss:.6f}", flush=True)
 
 
+def eval_mode(mesh):
+    """eval_split_mesh across OS processes: images round-robined over
+    the global 4-device mesh, per-process host drains of the replicated
+    (all-gathered) outputs. Asserts the result equals the serial
+    single-device protocol IN-PROCESS, then prints `EVALSUM <json>`
+    (identical on every process by construction)."""
+    import json
+
+    import numpy as np
+
+    from lang2seg_tpu.engine.train_state import create_train_state
+    from lang2seg_tpu.engine.evaluator import Evaluator
+    from lang2seg_tpu.data.synthetic import synthetic_batch
+    from tests.test_network import tiny_config
+
+    cfg = tiny_config()
+    cfg.data.max_orig_h = cfg.data.canvas_h
+    cfg.data.max_orig_w = cfg.data.canvas_w
+    model, tx, state = create_train_state(cfg)  # same seed -> same params
+    ev = Evaluator(model, cfg, device_paste=True)
+
+    batches = []
+    for s in range(5):   # 5 images on 4 devices: one padded chunk
+        b = synthetic_batch(cfg, 1, 2, seed=s)
+        batches.append({"images": b["images"], "im_hw": b["im_hw"],
+                        "labels": b["labels"], "gt_boxes": b["gt_boxes"],
+                        "gt_masks": b["gt_masks"],
+                        "im_scale": np.float32(1.0)})
+    batches[1]["sent_valid"] = np.array([True, False])
+
+    got = ev.eval_split_mesh(state.params, [dict(b) for b in batches],
+                             mesh)
+    ref = ev.eval_split(state.params, [dict(b) for b in batches])
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
+    print("EVALSUM " + json.dumps(got, sort_keys=True), flush=True)
+
+
 def main():
     coordinator, num_procs, proc_id = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
@@ -86,6 +124,9 @@ def main():
     mesh = make_mesh(len(devices), devices=devices)
     if "--train" in sys.argv:
         train_mode(mesh)
+        return
+    if "--eval" in sys.argv:
+        eval_mode(mesh)
         return
     spec = batch_spec()
 
