@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained", default=None,
                    help="npz/orbax params for tolerant transfer init "
                         "(reference: res101 mask-rcnn 1.25M ckpt)")
+    p.add_argument("--captioner-init", default=None,
+                   help="model-best.npz from captioner pretraining, "
+                        "grafted into the cycle variant's captioner "
+                        "(reference README step 5: caption_log_*/"
+                        "model-best.pth via caption_models/__init__.py:"
+                        "45-52)")
     p.add_argument("--cfg", default=None, help="YAML config overlay")
     p.add_argument("--set", dest="overrides", nargs="*", default=[],
                    help="dotted KEY VALUE config overrides")
@@ -84,6 +90,11 @@ def main(argv=None):
 
     from lang2seg_tpu.engine.trainer import Trainer
     trainer = Trainer(cfg, loader, output_dir)
+    if args.captioner_init:
+        from lang2seg_tpu.engine.train_captioner import restore_captioner
+        trainer.state = trainer.state.replace(
+            params=restore_captioner(trainer.state.params,
+                                     args.captioner_init))
     losses = trainer.train(max_iters=args.max_iters,
                            load_pretrained=pretrained)
     print("final:", losses)

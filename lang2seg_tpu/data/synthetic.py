@@ -49,7 +49,8 @@ def synthetic_batch(cfg: Config, num_images: int, num_expr: int,
     if m.use_caption_loss:
         t = m.cap_seq_length + 2
         cap = np.zeros((num_expr, t), np.int32)
-        cap[:, 1:d.max_len + 1] = labels[:, :min(d.max_len, t - 2)]
+        ln = min(d.max_len, t - 2)
+        cap[:, 1:ln + 1] = labels[:, :ln]
         masks = (cap != 0).astype(np.float32)
         masks[:, 0] = 1.0  # BOS slot
         batch["cap_labels"] = cap

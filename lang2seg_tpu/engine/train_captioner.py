@@ -150,6 +150,49 @@ def _save_params_npz(path: str, params):
     np.savez(path, **flat)
 
 
+def load_params_npz(path: str) -> dict:
+    """Inverse of _save_params_npz: '/'-joined flat keys -> nested dict."""
+    out: dict = {}
+    with np.load(path) as data:
+        for flat_key in data.files:
+            node = out
+            *parents, leaf = flat_key.split("/")
+            for k in parents:
+                node = node.setdefault(k, {})
+            node[leaf] = data[flat_key]
+    return out
+
+
+def restore_captioner(params: dict, path: str) -> dict:
+    """Graft a pretrained captioner checkpoint (model-best.npz from
+    run_captioner_training) into a full Lang2Seg param tree — the
+    reference's README step 5 restore of caption_log_*/model-best.pth
+    into the cycle network (lib/caption_models/__init__.py:45-52).
+
+    The checkpoint must match the network's captioner subtree exactly
+    (same leaves, same shapes); every other subtree is returned
+    untouched."""
+    assert "captioner" in params, \
+        "param tree has no captioner (not a cycle variant?)"
+    loaded = load_params_npz(path)
+
+    def check(want, got, prefix=""):
+        assert set(want) == set(got), \
+            (prefix, sorted(want), sorted(got))
+        for k in want:
+            if isinstance(want[k], dict):
+                check(want[k], got[k], f"{prefix}{k}/")
+            else:
+                assert np.shape(want[k]) == np.shape(got[k]), \
+                    (f"{prefix}{k}", np.shape(want[k]), np.shape(got[k]))
+
+    check(params["captioner"], loaded)
+    loaded = jax.tree_util.tree_map(
+        lambda ref, new: jnp.asarray(new, dtype=ref.dtype),
+        params["captioner"], loaded)
+    return {**params, "captioner": loaded}
+
+
 def init_captioner_state(cfg: Config, rng=None) -> Tuple:
     captioner = setup_captioner(cfg.model)
     rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
