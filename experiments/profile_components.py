@@ -1,8 +1,13 @@
-"""Component-level step-time breakdown on the real chip.
+"""Component-level step-time + roofline breakdown on the real chip.
 
 Times each stage of the flagship train step standalone (own jit, fwd+bwd
-where trained), with value-readback barriers. This replaces config-
-ablation guesswork about where the step's 165ms actually goes.
+where trained), with value-readback barriers, and pulls each stage's
+analytic FLOPs from XLA's op-level cost analysis of the compiled
+executable — so every *_ms line carries a *_mfu companion (stage FLOPs
+/ stage time / chip bf16 peak). This replaces config-ablation guesswork
+about where the step time goes AND says how far each stage sits from
+the compute roofline (sort/gather stages are expected to be low-MFU by
+nature; the table's point is that the MXU stages are not).
 
 Usage: PYTHONPATH=.:.axon_site python experiments/profile_components.py
 """
@@ -26,6 +31,19 @@ H, W = 640, 1024
 FH, FW, C = 40, 64, 1024
 R = 256                # sampled ROIs per expression
 
+_LAST_FLOPS = {"v": None}
+
+
+def _flops_of(fn, *args):
+    """XLA cost-analysis FLOPs for a jitted callable at these args."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return None
+
 
 def timeit(fn, *args, iters=20):
     out = fn(*args)
@@ -36,6 +54,7 @@ def timeit(fn, *args, iters=20):
         out = fn(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
     float(jnp.sum(leaf))
+    _LAST_FLOPS["v"] = _flops_of(fn, *args) if hasattr(fn, "lower") else None
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
@@ -45,10 +64,21 @@ def main():
 
     rng = np.random.RandomState(0)
 
+    from bench import peak_flops_per_chip
+    peak = peak_flops_per_chip()
+
     class _Printing(dict):
         def __setitem__(self, k, v):
             super().__setitem__(k, v)
-            print(json.dumps({k: round(v, 2)}), flush=True)
+            line = {k: round(v, 2)}
+            fl = _LAST_FLOPS["v"]
+            _LAST_FLOPS["v"] = None
+            if fl and k.endswith("_ms"):
+                line[k[:-3] + "_gflop"] = round(fl / 1e9, 2)
+                if peak:
+                    line[k[:-3] + "_mfu"] = round(
+                        fl / (v / 1e3) / peak, 4)
+            print(json.dumps(line), flush=True)
 
     results = _Printing()
 

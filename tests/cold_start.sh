@@ -1,0 +1,32 @@
+#!/bin/sh
+# Cold-start cache warmer: populate the persistent XLA compile cache
+# (/tmp/lang2seg_jax_cache_cpu, see tests/conftest.py) on a fresh
+# machine so the quick tier then passes in ONE <5-minute window.
+#
+# Why per-file: a full cold `pytest -m quick` spends 20+ minutes in XLA
+# compiles on this 1-core host and dies to any external 10-minute
+# window. Running each test file in its own bounded sub-window makes
+# progress monotonic — completed compiles persist in the cache, a
+# timeout only loses the single in-flight compile — so one pass of this
+# script (run it WITHOUT an outer timeout, e.g. under nohup) converges,
+# and even an interrupted pass resumes where it left off.
+#
+# Usage:
+#   nohup sh tests/cold_start.sh > /tmp/cold_start.log 2>&1 &
+#   # wait for "cold start: warm pass"; then:
+#   python -m pytest tests/ -m quick -q      # green in one window
+#
+# WINDOW (default 540 s) bounds each file's sub-window.
+
+set -u
+cd "$(dirname "$0")/.."
+for f in tests/test_*.py; do
+    echo "cold start: $f"
+    timeout "${WINDOW:-540}" python -m pytest "$f" -m quick -q \
+        --no-header 2>/dev/null
+    rc=$?
+    [ "$rc" -eq 124 ] && echo "cold start: $f hit the window (compiles" \
+        "so far are cached; rerun the script to finish it)"
+done
+echo "cold start: warm pass"
+exec python -m pytest tests/ -m quick -q
