@@ -91,8 +91,27 @@ def main():
     def head_loss(p, x):
         y = bb.apply({"params": p}, x, method=ResNetC4.head)
         return jnp.sum(y.astype(jnp.float32))
+    # full-wgrad standalone figure (differentiates EVERY param, incl.
+    # conv1/layer1/BN wgrads the real step never builds — round-3 lesson:
+    # this OVERSTATES the in-step head cost; see the _instep probe below)
     results["backbone_head_fwdbwd_ms"] = timeit(
         jax.jit(jax.grad(head_loss)), params, img)
+
+    # in-step semantics: grad wrt the TRAINABLE backbone subtree only
+    # (conv1/layer1/all-BN frozen, exactly as partition_params splits the
+    # real train step) — this is the head's true fwd+bwd cost shape
+    from lang2seg_tpu.engine.optimizer import (merge_params,
+                                               partition_params)
+    pcfg = Config()
+    pcfg.model.backbone = "resnet101"
+    tr_bb, fz_bb = partition_params({"backbone": params}, pcfg)
+
+    def head_loss_instep(tr, x):
+        p = merge_params(tr, fz_bb)["backbone"]
+        y = bb.apply({"params": p}, x, method=ResNetC4.head)
+        return jnp.sum(y.astype(jnp.float32))
+    results["backbone_head_instep_fwdbwd_ms"] = timeit(
+        jax.jit(jax.grad(head_loss_instep)), tr_bb, img)
 
     # ---- ROI tail (layer4) fwd+bwd on E*R crops: plain vs mosaic ----
     crops = jnp.asarray(rng.randn(E * R, 7, 7, C), jnp.bfloat16)

@@ -237,8 +237,11 @@ def tail_microbench(iters=6):
             v = fwdbwd(params, x)
         float(v)
         best = min(best, (time.perf_counter() - t0) / iters)
-    # FLOPs: fwd 1.978 GF/ROI (blocks 693.6 + 2x642.2 M), bwd ~2x fwd
-    tf = 1.978e9 * r * 3 / 1e12
+    # FLOPs from XLA cost analysis of this exact fwd+bwd executable:
+    # fwd 1.341 GF/ROI, fwd+igrad+wgrad 4.028 GF/ROI (an earlier
+    # hand-count of 1.978 GF/ROI fwd overstated by ~47% and implied an
+    # impossible >peak achieved rate; the compiler's count is exact)
+    tf = 4.028e9 * r / 1e12
     print(json.dumps({"tail_r": r, "ms": round(best * 1000, 1),
                       "tflops": round(tf, 1),
                       "achieved_tflops_s": round(tf / best, 1)}), flush=True)

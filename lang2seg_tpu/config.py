@@ -107,6 +107,13 @@ class ModelConfig:
     pooling_size: int = 7
     mask_size: int = 14
     pooling_mode: str = "crop"              # 'crop' | 'pool' (POOLING_MODE, config.py:273)
+    nms_block: int = 256                    # NMS tile size — pure perf knob,
+                                            # bit-identical for any value
+                                            # (ops/nms.py). Swept on the v5e
+                                            # at the 12000->2000 train shape:
+                                            # 128/256/512/1024 -> 8.29/7.78/
+                                            # 8.07/10.71 ms standalone E=16
+                                            # (experiments/bench_nms_block.py)
     max_pool: bool = False                  # crop 2x then maxpool (RESNET.MAX_POOL)
     fixed_blocks: int = 1                   # frozen resnet stages (conv1 always frozen)
     c4_feat_dim: int = 1024                 # 512 for vgg16

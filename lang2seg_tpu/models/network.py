@@ -256,7 +256,8 @@ class Lang2Seg(nn.Module):
             score_pos = jax.nn.softmax(cls_e.reshape(n, 2), axis=-1)[:, 1]
             props = proposal_layer(
                 score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
-                t.rpn_pre_nms_top_n, t.rpn_post_nms_top_n, t.rpn_nms_thresh)
+                t.rpn_pre_nms_top_n, t.rpn_post_nms_top_n, t.rpn_nms_thresh,
+                nms_block=m.nms_block)
             at = anchor_targets(
                 anchors, gt_b, gt_v, hw[0], hw[1], k1,
                 rpn_batchsize=t.rpn_batchsize,
@@ -444,7 +445,7 @@ class Lang2Seg(nn.Module):
             return proposal_layer(
                 score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                 ts.rpn_pre_nms_top_n, ts.rpn_post_nms_top_n,
-                ts.rpn_nms_thresh)
+                ts.rpn_nms_thresh, nms_block=m.nms_block)
 
         # 'top' mode's random pad re-draws per call in the reference
         # (proposal_top_layer.py:40); batches carry a per-image uid to

@@ -46,9 +46,9 @@ def _pad_to_multiple(x: jnp.ndarray, mult: int, axis: int = 0):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out",))
+@functools.partial(jax.jit, static_argnames=("max_out", "block"))
 def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
-               max_out: int):
+               max_out: int, block: int = _BLOCK):
     """Greedy NMS over score-sorted boxes.
 
     Args:
@@ -56,21 +56,28 @@ def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
       valid: (N,) bool — padding mask (invalid boxes never kept).
       iou_thresh: scalar suppression threshold (IoU > thresh suppresses).
       max_out: number of kept indices to return (static).
+      block: tile size (static). The result is bit-identical for ANY
+        tile size (frontier + intra-tile fixpoint are exact); the knob
+        trades per-tile work against sequential tile-loop iterations,
+        which dominate on TPU (each while_loop step costs fixed latency
+        regardless of how little it computes). Swept on the real chip in
+        experiments/bench_nms_block.py; cfg.model.nms_block carries the
+        measured default.
 
     Returns:
       keep_idx:  (max_out,) int32 indices into `boxes`, in score order,
                  padded with 0 when fewer survive.
       keep_mask: (max_out,) bool validity of each returned slot.
     """
-    boxes_p = _pad_to_multiple(boxes, _BLOCK)
-    valid_p = _pad_to_multiple(valid, _BLOCK)
+    boxes_p = _pad_to_multiple(boxes, block)
+    valid_p = _pad_to_multiple(valid, block)
     n = boxes_p.shape[0]
-    num_blocks = n // _BLOCK
+    num_blocks = n // block
     # kept-box frontier: max_out rounded up to a tile, plus one tile of
     # slack (a tile entered with count == max_out - 1 can append B boxes)
-    bufsize = (-(-max_out // _BLOCK) + 1) * _BLOCK
+    bufsize = (-(-max_out // block) + 1) * block
 
-    r = jnp.arange(_BLOCK)
+    r = jnp.arange(block)
     strict_lower = r[:, None] < r[None, :]             # k < j suppressor mask
     buf_slots = jnp.arange(bufsize)
 
@@ -80,9 +87,9 @@ def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
 
     def body(st):
         i, cnt, buf, buf_idx = st
-        start = i * _BLOCK
-        rows = jax.lax.dynamic_slice_in_dim(boxes_p, start, _BLOCK, axis=0)
-        row_valid = jax.lax.dynamic_slice_in_dim(valid_p, start, _BLOCK,
+        start = i * block
+        rows = jax.lax.dynamic_slice_in_dim(boxes_p, start, block, axis=0)
+        row_valid = jax.lax.dynamic_slice_in_dim(valid_p, start, block,
                                                  axis=0)
 
         # suppression by earlier kept boxes (frontier buffer)

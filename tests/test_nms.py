@@ -74,3 +74,20 @@ def test_nms_max_out_truncates(rng):
     assert idx.shape == (16,)
     assert np.asarray(mask).all()
     np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
+
+
+def test_nms_block_invariant(rng):
+    """The tile size is a pure perf knob: bit-identical keeps for any
+    block (frontier + intra-tile fixpoint are exact regardless of how
+    candidates are tiled)."""
+    boxes = rand_boxes(rng, 700)
+    ref = None
+    for block in (64, 128, 256, 512):
+        idx, mask = nms_padded(jnp.asarray(boxes), jnp.ones((700,), bool),
+                               0.6, 256, block=block)
+        got = (np.asarray(idx), np.asarray(mask))
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_array_equal(ref[0], got[0])
+            np.testing.assert_array_equal(ref[1], got[1])

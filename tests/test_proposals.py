@@ -74,3 +74,26 @@ def test_proposal_layer_invariants(rng):
     assert (b[v][:, 1] >= 0).all() and (b[v][:, 3] <= 120.0 - 1 + 1e-4).all()
     s = np.asarray(out.scores)[v]
     assert (np.diff(s) <= 1e-6).all()
+
+
+def test_sorted_topk_matches_lax_top_k(rng):
+    """proposal_layer's variadic-sort top-k (one lax.sort carrying the box
+    coords, measured faster than top_k + gather on TPU) must select exactly
+    lax.top_k's boxes — including on DUPLICATE scores, where both resolve
+    ties by ascending index (lax.sort is stable)."""
+    n, k = 512, 128
+    scores = rng.rand(n).astype(np.float32)
+    scores[100:200] = scores[50]            # forced score ties
+    boxes = np.sort(rng.uniform(0, 100, (n, 2, 2)), axis=1)
+    boxes = boxes.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+
+    s = jnp.asarray(scores)
+    b = jnp.asarray(boxes)
+    top_s, order = jax.lax.top_k(s, k)
+    ref_boxes = np.asarray(b[order])
+
+    out = jax.lax.sort((-s, b[:, 0], b[:, 1], b[:, 2], b[:, 3]), num_keys=1)
+    got_s = -np.asarray(out[0][:k])
+    got_boxes = np.stack([np.asarray(out[i][:k]) for i in range(1, 5)], -1)
+    np.testing.assert_array_equal(np.asarray(top_s), got_s)
+    np.testing.assert_array_equal(ref_boxes, got_boxes)
