@@ -12,7 +12,9 @@ Sweeps block in {128, 256, 512, 1024} at the train proposal shape
 (pre 12000 -> post 2000) and the test shape (6000 -> 300), E=16 vmapped,
 on realistic decoded-anchor boxes; asserts keeps identical across blocks.
 
-Usage: PYTHONPATH=/root/repo python experiments/bench_nms_block.py
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python experiments/bench_nms_block.py
+(keep the existing PYTHONPATH — on this host it carries the TPU backend
+plugin; clobbering it silently falls back to an unknown-backend error)
 """
 
 import json

@@ -70,16 +70,28 @@ def build(cfg, mode="full"):
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, I, E).items()}
 
-    if mode == "inject":
+    if mode in ("inject", "inject_at", "inject_pt"):
         # constant precomputed targets with the production shapes
         # (removes proposal_layer+NMS+both samplers from the graph;
-        # values only need to keep the losses finite, not meaningful)
+        # values only need to keep the losses finite, not meaningful).
+        # inject_at / inject_pt inject ONE side and leave the other
+        # computed (network.train_forward accepts None per slot), so the
+        # anchor sampler vs the proposal+NMS+ROI-sampler chain get
+        # separate in-step deltas.
+        # targets ride as RUNTIME ARGUMENTS, not closure constants: a
+        # closed-over jnp array embeds as an XLA constant and lets the
+        # compiler fold the downstream loss masks/one-hots at compile
+        # time, which would overstate the sampler deltas
         targets = _synthetic_targets(cfg)
 
-        def body(st, b):
+        def body(st, b, tg):
             from lang2seg_tpu.engine.optimizer import (merge_params,
                                                        partition_params)
             import optax
+            if mode == "inject_at":
+                tg = (tg[0], None)
+            elif mode == "inject_pt":
+                tg = (None, tg[1])
             rng, d_rng, s_rng = jax.random.split(st.rng, 3)
             trainable, frozen = partition_params(st.params, cfg)
 
@@ -87,7 +99,7 @@ def build(cfg, mode="full"):
                 losses = model.apply(
                     {"params": merge_params(tr, frozen)}, b,
                     rngs={"dropout": d_rng, "sampling": s_rng},
-                    method=Lang2Seg.train_forward, targets=targets)
+                    method=Lang2Seg.train_forward, targets=tg)
                 return losses["total_loss"], losses
             grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
             updates, new_opt = tx.update(grads, st.opt_state, trainable)
@@ -95,7 +107,8 @@ def build(cfg, mode="full"):
                 optax.apply_updates(trainable, updates), frozen)
             return st.replace(step=st.step + 1, params=new_params,
                               opt_state=new_opt, rng=rng), losses
-        step = jax.jit(body, donate_argnums=(0,))
+        jstep = jax.jit(body, donate_argnums=(0,))
+        step = lambda st, b: jstep(st, b, targets)  # noqa: E731
         return step, state, batch
 
     if mode == "sgdless":
@@ -174,6 +187,8 @@ def main():
         ("roi64", {"train.roi_batch_size": 64}, "full"),
         ("roi8", {"train.roi_batch_size": 8}, "full"),
         ("inject", {}, "inject"),
+        ("inject_at", {}, "inject_at"),
+        ("inject_pt", {}, "inject_pt"),
         ("prenms2k", {"train.rpn_pre_nms_top_n": 2048}, "full"),
         ("nomask", {"model.use_mask_head": False}, "full"),
         ("noresp", {"model.use_response_loss": False}, "full"),

@@ -251,35 +251,46 @@ class Lang2Seg(nn.Module):
         else:
             keys = jax.random.split(key, e)
 
+        # `targets` may inject either side independently (None = compute);
+        # the uncomputed side's ops never enter the graph, so removal-
+        # based profiling can attribute the anchor sampler vs the
+        # proposal+NMS+ROI-sampler chain separately.
+        at_inj, pt_inj = targets if targets is not None else (None, None)
+        need_at, need_pt = at_inj is None, pt_inj is None
+
         def per_expr(cls_e, box_e, hw, gt_b, gt_v, gt_m, k):
             k1, k2 = jax.random.split(k)
-            score_pos = jax.nn.softmax(cls_e.reshape(n, 2), axis=-1)[:, 1]
-            props = proposal_layer(
-                score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
-                t.rpn_pre_nms_top_n, t.rpn_post_nms_top_n, t.rpn_nms_thresh,
-                nms_block=m.nms_block)
             at = anchor_targets(
                 anchors, gt_b, gt_v, hw[0], hw[1], k1,
                 rpn_batchsize=t.rpn_batchsize,
                 fg_fraction=t.rpn_fg_fraction,
                 pos_overlap=t.rpn_positive_overlap,
                 neg_overlap=t.rpn_negative_overlap,
-                clobber_positives=t.rpn_clobber_positives)
-            pt = proposal_targets(
-                props.rois, props.valid, gt_b, gt_v,
-                gt_m.astype(jnp.uint8), k2,
-                num_rois=t.roi_batch_size, fg_fraction=t.fg_fraction,
-                fg_thresh=t.fg_thresh, bg_thresh_hi=t.bg_thresh_hi,
-                bg_thresh_lo=t.bg_thresh_lo, mask_size=m.mask_size,
-                normalize_means=t.bbox_normalize_means,
-                normalize_stds=t.bbox_normalize_stds, use_gt=t.use_gt)
+                clobber_positives=t.rpn_clobber_positives) if need_at \
+                else None
+            if need_pt:
+                score_pos = jax.nn.softmax(
+                    cls_e.reshape(n, 2), axis=-1)[:, 1]
+                props = proposal_layer(
+                    score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
+                    t.rpn_pre_nms_top_n, t.rpn_post_nms_top_n,
+                    t.rpn_nms_thresh, nms_block=m.nms_block)
+                pt = proposal_targets(
+                    props.rois, props.valid, gt_b, gt_v,
+                    gt_m.astype(jnp.uint8), k2,
+                    num_rois=t.roi_batch_size, fg_fraction=t.fg_fraction,
+                    fg_thresh=t.fg_thresh, bg_thresh_hi=t.bg_thresh_hi,
+                    bg_thresh_lo=t.bg_thresh_lo, mask_size=m.mask_size,
+                    normalize_means=t.bbox_normalize_means,
+                    normalize_stds=t.bbox_normalize_stds, use_gt=t.use_gt)
+            else:
+                pt = None
             return at, pt
 
-        if targets is None:
-            at, pt = jax.vmap(per_expr)(
-                rpn_cls, rpn_box, im_hw, gt_boxes, gt_valid, gt_masks, keys)
-        else:
-            at, pt = targets
+        at, pt = jax.vmap(per_expr)(
+            rpn_cls, rpn_box, im_hw, gt_boxes, gt_valid, gt_masks, keys)
+        at = at if need_at else at_inj
+        pt = pt if need_pt else pt_inj
 
         # ---- RPN losses (network.py:372-387) ----
         rpn_logits = rpn_cls.reshape(e, n, 2)

@@ -90,39 +90,61 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         neg = neg & ~pos
 
     # subsample positives to num_fg, negatives to batch - num_pos_kept.
-    # One fused rank pass over both classes: sort a composite integer key
-    # (pos draws < neg draws < rest) so positives occupy overall ranks
-    # [0, n_pos) and negatives [n_pos, n_pos + n_neg). Within each class
-    # the key is the bit pattern of that class's own uniform draw —
-    # bitcast is order-preserving for floats in [0, 1) — so the
-    # within-class order (and therefore the selected set) is EXACTLY the
-    # old two-pass rank result (the oracle lives in tests/test_targets.py:
-    # test_fused_subsample_matches_two_pass), at half the sort/scatter cost
-    # (the two 30720-wide rank passes were ~10 ms of the train step).
+    # Uniform-without-replacement via random-priority selection: each
+    # class keeps its budget-many smallest uniform draws. Rather than a
+    # full N-wide argsort + N-wide rank scatter (the round-3 fused-sort
+    # formulation; ~24 ms in-step at (16, 30720) by removal A/B), take
+    # each class's budget-many smallest keys with lax.top_k (budget <=
+    # 256 << N) and scatter just those indices. The selected SET is
+    # bit-identical to the rank formulation whenever the draws are
+    # distinct (oracle: tests/test_targets.py::
+    # test_fused_subsample_matches_two_pass); on a tied pair straddling the
+    # budget boundary (float32 draws have 24 random bits, so ties do
+    # occur) top_k and argsort merely break the tie differently — both
+    # pick one of the tied anchors arbitrarily, same distribution.
     k_pos, k_neg = jax.random.split(key)
     num_fg = int(fg_fraction * rpn_batchsize)
+    sent = jnp.int32(0x7FFFFFFF)
     bits_pos = jax.lax.bitcast_convert_type(
         jax.random.uniform(k_pos, pos.shape), jnp.int32)
     bits_neg = jax.lax.bitcast_convert_type(
         jax.random.uniform(k_neg, neg.shape), jnp.int32)
-    # [0,1) floats bitcast to [0, 0x3F800000); +0x40000000 keeps the neg
-    # block disjoint and below the 0x7FFFFFFF "rest" sentinel
-    ckey = jnp.where(pos, bits_pos,
-                     jnp.where(neg, bits_neg + jnp.int32(0x40000000),
-                               jnp.int32(0x7FFFFFFF)))
-    order = jnp.argsort(ckey)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(pos.shape[0]))
+    key_pos = jnp.where(pos, bits_pos, sent)
+    key_neg = jnp.where(neg, bits_neg, sent)
 
     n_pos = jnp.sum(pos)
-    pos_kept = pos & (rank < num_fg)
     num_pos_kept = jnp.minimum(n_pos, num_fg)
-
     num_bg = rpn_batchsize - num_pos_kept
-    neg_kept = neg & ((rank - n_pos) < num_bg)
+
+    # top_k of the negated keys = the k smallest keys, sorted ascending;
+    # slots past the class count land on sentinel entries and are masked
+    # both by slot rank and by the returned value.
+    kp = min(num_fg, n)          # tiny configs: budget can exceed N
+    kn = min(rpn_batchsize, n)
+    vp, ip = jax.lax.top_k(-key_pos, kp)
+    vn, in_ = jax.lax.top_k(-key_neg, kn)
+    keep_p = (jnp.arange(kp) < num_pos_kept) & (vp != -sent)
+    keep_n = (jnp.arange(kn) < num_bg) & (vn != -sent)
+    # top_k indices are distinct positions, so .set is scatter-safe
+    pos_kept = jnp.zeros_like(pos).at[ip].set(keep_p)
+    neg_kept = jnp.zeros_like(neg).at[in_].set(keep_n)
 
     labels = jnp.where(pos_kept, 1, jnp.where(neg_kept, 0, -1)).astype(jnp.int32)
 
-    tgt = _guard(encode_boxes(anchors, gt_boxes[argmax_gt, :4]))
+    # matched-GT coordinates via one-hot matmul, NOT gt_boxes[argmax_gt]:
+    # the (N,)-indexed row gather from the tiny (M, 5) table lowers
+    # pathologically on this TPU (+15.5 ms at (16, 30720, 8) by stage
+    # bisection, experiments/profile_anchor_targets.py) — same pathology
+    # class as the ROI crop / mask-target gathers. One selected row per
+    # anchor, so the f32 matmul is exact, not approximate.
+    # precision=HIGHEST: TPU f32 matmuls default to bf16 passes, which
+    # would silently ROUND the selected coordinates (CPU tests wouldn't
+    # catch it); highest-precision f32 is exact for a {0,1} row select.
+    onehot = (argmax_gt[:, None] == jnp.arange(gt_boxes.shape[0])[None, :]
+              ).astype(jnp.float32)                    # (N, M)
+    matched = jnp.matmul(onehot, gt_boxes[:, :4],
+                         precision=jax.lax.Precision.HIGHEST)  # (N, 4)
+    tgt = _guard(encode_boxes(anchors, matched))
     tgt = jnp.where(inside[:, None], tgt, 0.0)
 
     inside_w = (labels == 1).astype(jnp.float32)
@@ -207,27 +229,46 @@ def proposal_targets(rois: jnp.ndarray, roi_valid: jnp.ndarray,
 
     safe_fg = jnp.maximum(fg_count, 1)
     safe_bg = jnp.maximum(bg_count, 1)
+    # Gather discipline: every vmapped advanced-index gather costs ~1.7 ms
+    # at the flagship (E=16) shape on this TPU regardless of output size
+    # (experiments/profile_anchor_targets.py + the in-step removal A/B),
+    # so the sampling below folds what used to be nine gathers into three:
+    # the two bg index sources resolve BEFORE the bg-rank gather, the four
+    # same-index candidate gathers ride one packed payload row, and the
+    # tiny (M, 5) GT-table lookups become an exact one-hot matmul.
     # fg slots draw without replacement while slot < fg_count, then cycle
     fg_src = fg_by_rank[jnp.mod(slot, safe_fg)]
-    # bg slots: without replacement if enough bg, else uniform with replacement
+    # bg slots: without replacement if enough bg, else uniform with
+    # replacement — choose the index per slot first, gather once
     bg_pos = slot - fg_take
-    bg_wo = bg_by_rank[jnp.clip(bg_pos, 0, p + m - 1) % safe_bg]
     bg_rand = jax.random.randint(k_rep, (num_rois,), 0, safe_bg)
-    bg_wr = bg_by_rank[bg_rand]
     need_bg = num_rois - fg_take
-    bg_src = jnp.where(bg_count >= need_bg, bg_wo, bg_wr)
+    bg_idx = jnp.where(bg_count >= need_bg,
+                       jnp.clip(bg_pos, 0, p + m - 1) % safe_bg, bg_rand)
+    bg_src = bg_by_rank[bg_idx]
 
     sel = jnp.where(is_fg_slot, fg_src, bg_src)              # (R,) candidate idx
 
-    out_rois = cand[sel]
-    out_valid = jnp.where(is_fg_slot, fg[sel], bg[sel])
-    gt_idx = gt_assign[sel]
+    # one gather for [cand | fg | bg | gt_assign] (int/bool exact in f32)
+    payload = jnp.concatenate([
+        cand, fg[:, None].astype(jnp.float32), bg[:, None].astype(jnp.float32),
+        gt_assign[:, None].astype(jnp.float32)], axis=1)     # (P+M, 7)
+    row = payload[sel]                                       # (R, 7)
+    out_rois = row[:, :4]
+    out_valid = jnp.where(is_fg_slot, row[:, 4] > 0.5, row[:, 5] > 0.5)
+    gt_idx = row[:, 6].astype(jnp.int32)
+
+    # matched GT rows via exact one-hot matmul (HIGHEST: TPU f32 matmul
+    # defaults to bf16 passes which would round the coordinates)
+    oh = (gt_idx[:, None] == jnp.arange(m)[None, :]).astype(jnp.float32)
+    matched_gt = jnp.matmul(oh, gt_boxes,
+                            precision=jax.lax.Precision.HIGHEST)  # (R, 5)
     labels = jnp.where(is_fg_slot & out_valid,
-                       gt_boxes[gt_idx, 4].astype(jnp.int32), 0)
+                       matched_gt[:, 4].astype(jnp.int32), 0)
 
     # compact bbox regression targets (expanded-by-class only at the loss,
     # which is mathematically identical to the reference's (R, 4K) layout)
-    tgt = _guard(encode_boxes(out_rois, gt_boxes[gt_idx, :4]))
+    tgt = _guard(encode_boxes(out_rois, matched_gt[:, :4]))
     means = jnp.asarray(normalize_means, dtype=tgt.dtype)
     stds = jnp.asarray(normalize_stds, dtype=tgt.dtype)
     tgt = (tgt - means) / stds
