@@ -52,6 +52,15 @@ def main():
         ("baseline_2x16", {}, 2, 16),
         ("baseline_4x16", {}, 4, 16),
         ("baseline_4x32", {}, 4, 32),
+        # round-4 follow-up: the r3 sweep kept E/I <= 8, so the
+        # backbone-head share (11.2 ms for I=2 in-step) was never
+        # amortized further. Higher E/I reuses each image for more
+        # expressions per step (RefCOCO averages ~10 sentences/image;
+        # the loader samples E/I expressions per image visit).
+        ("baseline_1x16", {}, 1, 16),
+        ("baseline_2x32", {}, 2, 32),
+        ("baseline_1x32", {}, 1, 32),
+        ("baseline_2x48", {}, 2, 48),
     ]
     if args.only:
         keep = args.only.split(",")

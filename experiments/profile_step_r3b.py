@@ -190,6 +190,14 @@ def main():
         ("inject_at", {}, "inject_at"),
         ("inject_pt", {}, "inject_pt"),
         ("prenms2k", {"train.rpn_pre_nms_top_n": 2048}, "full"),
+        # in-step NMS tile-size A/B: the standalone sweep
+        # (bench_nms_block.py) uses peaked synthetic scores where few
+        # tiles reach the 2000-keep early exit; the in-step score
+        # distribution (untrained RPN, heavily overlapping decoded
+        # boxes) may suppress more and run many more tiles, where a
+        # larger tile wins
+        ("nmsblk512", {"model.nms_block": 512}, "full"),
+        ("nmsblk1024", {"model.nms_block": 1024}, "full"),
         ("nomask", {"model.use_mask_head": False}, "full"),
         ("noresp", {"model.use_response_loss": False}, "full"),
         ("sgdless", {}, "sgdless"),
