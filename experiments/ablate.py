@@ -37,6 +37,12 @@ def time_step(cfg, num_images=2, num_expr=8, iters=10):
     from lang2seg_tpu.engine.train_state import (create_train_state,
                                                  make_train_step)
     from lang2seg_tpu.data.synthetic import synthetic_batch
+    # Timing-safe LR (same protocol as bench.py): at the training LR a
+    # from-scratch frozen-BN backbone diverges (response loss 46 -> 1e4+
+    # after ONE step at every batch shape — experiments/diag_nan_1x32.py)
+    # and a bad seed reaches NaN within the timing iters, killing the
+    # probe. The op graph is identical, so timing is unaffected.
+    cfg.train.learning_rate = 1e-8
     model, tx, state = create_train_state(cfg)
     step = make_train_step(model, cfg, tx, donate=True)
     batch = {k: jnp.asarray(v)
