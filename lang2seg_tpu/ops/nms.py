@@ -46,9 +46,10 @@ def _pad_to_multiple(x: jnp.ndarray, mult: int, axis: int = 0):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "block"))
+@functools.partial(jax.jit, static_argnames=("max_out", "block",
+                                             "fix_unroll"))
 def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
-               max_out: int, block: int = _BLOCK):
+               max_out: int, block: int = _BLOCK, fix_unroll: int = 1):
     """Greedy NMS over score-sorted boxes.
 
     Args:
@@ -63,6 +64,16 @@ def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
         regardless of how little it computes). Swept on the real chip in
         experiments/bench_nms_block.py; cfg.model.nms_block carries the
         measured default.
+      fix_unroll: fixpoint applications per convergence check (static).
+        Applying the fixpoint body extra times past convergence is the
+        identity, so the result is bit-identical for ANY value >= 1.
+        Chip-swept on the real in-step RPN distribution
+        (experiments/bench_nms_unroll.py): FLAT — 17.06/17.09/17.24/
+        17.54/18.25 ms at 1/2/4/8/16 — the intra-tile fixpoint already
+        converges in ~1 check on score-sorted tiles; the cost is the
+        47 sequential OUTER tiles (the real distribution keeps only
+        ~600 of 12000, so the max_out early exit never fires —
+        experiments/profile_chain_realdist.py). Default stays 1.
 
     Returns:
       keep_idx:  (max_out,) int32 indices into `boxes`, in score order,
@@ -107,10 +118,16 @@ def nms_padded(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
             return changed
 
         def fix_body(state):
+            # `fix_unroll` applications per loop step: each is monotone
+            # toward the same fixpoint and the identity once there, so
+            # only the loop-step count changes, never the result
             cur, _ = state
-            suppressed = jnp.any(sup_mat & cur[:, None], axis=0)
-            new = init & ~suppressed
-            return new, jnp.any(new != cur)
+            prev = cur
+            for _ in range(fix_unroll):
+                prev = cur
+                suppressed = jnp.any(sup_mat & cur[:, None], axis=0)
+                cur = init & ~suppressed
+            return cur, jnp.any(cur != prev)
 
         keep_blk, _ = jax.lax.while_loop(
             fix_cond, fix_body, (init, jnp.array(True)))
