@@ -42,6 +42,10 @@ def time_step(cfg, num_images=2, num_expr=8, iters=10):
     # after ONE step at every batch shape — experiments/diag_nan_1x32.py)
     # and a bad seed reaches NaN within the timing iters, killing the
     # probe. The op graph is identical, so timing is unaffected.
+    # Pinned on a COPY: callers reusing cfg after timing must not
+    # silently inherit the probe LR (r4 advisor finding).
+    import copy
+    cfg = copy.deepcopy(cfg)
     cfg.train.learning_rate = 1e-8
     model, tx, state = create_train_state(cfg)
     step = make_train_step(model, cfg, tx, donate=True)

@@ -7,7 +7,11 @@ elementwise kernel, but every kernel carries fixed launch latency on
 TPU, and the leaves are mostly small. This probe measures, standalone
 on the chip:
 
-  A. the status-quo `build_optimizer` chain + apply_updates (donated),
+  A. the status-quo `build_optimizer` chain + apply_updates (NOT
+     donated — the timer re-feeds the same buffers, which donation
+     would invalidate; so A pays output allocation the donated in-step
+     update does not, i.e. A slightly OVERSTATES the in-step cost and
+     the A−C delta is an upper bound — r4 advisor finding),
   B. the same math over per-(lr_mult, wd)-group FLAT buffers
      (one ravel+concat per group done ONCE outside the timer; the
      timed region is just the fused elementwise update), and

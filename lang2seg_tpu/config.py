@@ -67,6 +67,10 @@ class TrainConfig:
     snapshot_prefix: str = "res101_mask_rcnn"
     display: int = 20
     summary_interval: int = 500
+    # when set, the trainer dumps response-map / net_conv PNGs for one
+    # val example under <dir>/{response,net_conv} every summary_interval
+    # (reference save=1 side channel, nets/network.py:481-517)
+    debug_save_dir: str = ""
 
     # image preprocessing
     scales: Tuple[int, ...] = (600,)

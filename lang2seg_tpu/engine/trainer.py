@@ -54,10 +54,14 @@ class MetricsWriter:
 
 class Trainer:
     def __init__(self, cfg: Config, loader, output_dir: str,
-                 val_loader=None, prefetch_depth: int = 2):
+                 val_loader=None, val_split: str = "val",
+                 prefetch_depth: int = 2):
         self.cfg = cfg
         self.loader = loader
         self.val_loader = val_loader
+        self.val_split = val_split
+        self._val_loss_fn = None
+        self._resp_fn = None
         self.output_dir = output_dir
         self.prefetch_depth = prefetch_depth
         self.model, self.tx, self.state = create_train_state(cfg)
@@ -120,6 +124,65 @@ class Trainer:
             np.random.set_state(host["np_random_state"])
         print(f"resumed from snapshot iter_{prev}")
         return prev
+
+    # ---- val summaries (train_val.py:362-374 semantics) ----
+
+    def _val_summary(self, it: int) -> Dict[str, float]:
+        """Run ONE val batch through the loss forward and log its losses
+        under tag="val" (the reference writes a val blob's summaries
+        every SUMMARY_INTERVAL, train_val.py:362-374). RNG is derived
+        deterministically from the iter — the training stream
+        (state.rng) is untouched, so enabling val summaries cannot
+        perturb the training trajectory (asserted by
+        tests/test_trainer.py::test_val_summaries_do_not_perturb)."""
+        from lang2seg_tpu.models.network import Lang2Seg
+        if self._val_loss_fn is None:
+            def val_loss(params, batch, step):
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(self.cfg.seed ^ 0x5A1), step)
+                d_rng, s_rng = jax.random.split(key)
+                return self.model.apply(
+                    {"params": params}, batch,
+                    rngs={"dropout": d_rng, "sampling": s_rng},
+                    method=Lang2Seg.train_forward)
+            self._val_loss_fn = jax.jit(val_loss)
+        batch = {k: v
+                 for k, v in self.val_loader.get_batch(self.val_split).items()
+                 if k not in ("wrapped", "im_scales")}
+        losses = self._val_loss_fn(self.state.params, batch,
+                                   jnp.asarray(it, jnp.int32))
+        vals = {k: float(v) for k, v in losses.items()}
+        self.writer.scalars(it, vals, tag="val")
+        if self.cfg.train.debug_save_dir and self.cfg.model.use_language:
+            self._debug_dump(it, batch)
+        return vals
+
+    def _debug_dump(self, it: int, batch: Dict):
+        """Response-map / top-channel net_conv PNGs for the first val
+        example (reference save=1 side channel, nets/network.py:481-517)
+        under <cfg.train.debug_save_dir>/{response,net_conv}."""
+        from lang2seg_tpu.utils.visualization import (save_response_map,
+                                                      save_topk_channels)
+        if self._resp_fn is None:
+            def resp(params, batch):
+                def f(mdl):
+                    images = batch["images"]
+                    if images.dtype == jnp.uint8:
+                        means = jnp.asarray(
+                            self.cfg.data.pixel_means_bgr, jnp.float32)
+                        images = images.astype(jnp.float32) - means
+                    net_conv = mdl.backbone.head(images)[batch["img_idx"]]
+                    gated, response = mdl._condition(
+                        net_conv, batch["labels"], train=False)
+                    return response, net_conv
+                return self.model.apply({"params": params}, method=f)
+            self._resp_fn = jax.jit(resp)
+        response, net_conv = self._resp_fn(self.state.params, batch)
+        root = self.cfg.train.debug_save_dir
+        save_response_map(np.asarray(response[0], np.float32),
+                          os.path.join(root, "response"), f"iter{it}")
+        save_topk_channels(np.asarray(net_conv[0], np.float32),
+                           os.path.join(root, "net_conv"), f"iter{it}")
 
     # ---- main loop ----
 
@@ -219,6 +282,8 @@ class Trainer:
 
                 if it % t.summary_interval == 0:
                     self.writer.scalars(it, step_losses_of(j))
+                    if self.val_loader is not None:
+                        self._val_summary(it)
 
                 # snapshot right before an LR decay boundary, then at
                 # cadence (groups never cross these, so they fire at

@@ -171,3 +171,53 @@ def test_checkpoint_tolerant_restore():
     assert float(out["a"]["w"][0, 0]) == 7.0
     assert out["a"]["b"].shape == (4,)          # kept original
     assert float(out["c"][0]) == 1.0
+
+
+@pytest.mark.slow
+def test_val_summaries_do_not_perturb(env, tmp_path):
+    """Val-split summaries (reference train_val.py:362-374): every
+    summary_interval the trainer logs one val batch's losses under
+    tag="val" (plus response/net_conv PNG dumps when
+    cfg.train.debug_save_dir is set, network.py:481-517 parity) — and
+    the val forward draws its RNG from a step-derived key, so the
+    training trajectory is bit-identical with or without it."""
+    import copy
+    import json
+    cfg, jp, hp, root = env
+    cfg = copy.deepcopy(cfg)
+    cfg.train.summary_interval = 2
+
+    loader_a = GtBatchLoader(jp, hp, cfg, seed=3)
+    tr_a = Trainer(cfg, loader_a, str(tmp_path / "a"))
+    losses_a = tr_a.train(max_iters=2)
+
+    cfg_b = copy.deepcopy(cfg)
+    cfg_b.train.debug_save_dir = str(tmp_path / "dumps")
+    loader_b = GtBatchLoader(jp, hp, cfg_b, seed=3)
+    val_loader = GtBatchLoader(jp, hp, cfg_b, seed=7)
+    tr_b = Trainer(cfg_b, loader_b, str(tmp_path / "b"),
+                   val_loader=val_loader)
+    losses_b = tr_b.train(max_iters=2)
+
+    # trajectory unchanged: val forward consumed no training RNG
+    assert set(losses_a) == set(losses_b)
+    for k in losses_a:
+        np.testing.assert_allclose(losses_a[k], losses_b[k], rtol=0, atol=0,
+                                   err_msg=f"loss {k} perturbed by "
+                                           f"val summaries")
+
+    events = [json.loads(line)
+              for line in open(os.path.join(str(tmp_path / "b"),
+                                            "events.jsonl"))]
+    val_events = [e for e in events if e.get("tag") == "val"]
+    assert val_events, "no tag='val' events written"
+    for e in val_events:
+        assert np.isfinite(e["total_loss"])
+    # train-tagged events still present
+    assert any(e.get("tag") == "" for e in events)
+
+    # debug side channel: response + net_conv PNGs for the val example
+    resp_dir = os.path.join(str(tmp_path / "dumps"), "response")
+    conv_dir = os.path.join(str(tmp_path / "dumps"), "net_conv")
+    assert os.path.isdir(resp_dir) and os.listdir(resp_dir)
+    assert os.path.isdir(conv_dir) and os.listdir(conv_dir)
