@@ -29,6 +29,13 @@ def build_parser():
     p.add_argument("--output-dir", default=None)
     p.add_argument("--ckpt-iter", type=int, default=None,
                    help="snapshot iter (default: newest)")
+    p.add_argument("--params", default=None,
+                   help="evaluate a params FILE instead of a snapshot: "
+                        ".pth (reference torch state_dict, converted via "
+                        "engine.convert) or .npz (our format); applied "
+                        "with the tolerant restore semantics "
+                        "(train_val.py:111-124). See "
+                        "docs/WEIGHTS_RUNBOOK.md")
     p.add_argument("--max-sents", type=int, default=32)
     p.add_argument("--sent-buckets", type=int, nargs="*",
                    default=[8, 16, 32],
@@ -81,8 +88,14 @@ def main(argv=None):
 
     model, _, state = create_train_state(cfg)
     ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"))
-    it = args.ckpt_iter or ckpt.find_previous()
-    if it is not None:
+    it = args.ckpt_iter or (None if args.params else ckpt.find_previous())
+    if args.params:
+        from lang2seg_tpu.engine.checkpoint import tolerant_restore_params
+        from lang2seg_tpu.engine.convert import load_params_file
+        state = state.replace(params=tolerant_restore_params(
+            state.params, load_params_file(args.params, cfg)))
+        print(f"restored params file {args.params}")
+    elif it is not None:
         state, _ = ckpt.restore(it, state)
         print(f"restored snapshot iter_{it}")
     else:

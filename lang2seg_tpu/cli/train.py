@@ -86,7 +86,10 @@ def main(argv=None):
     pretrained = None
     if args.pretrained:
         from lang2seg_tpu.engine.convert import load_params_file
-        pretrained = load_params_file(args.pretrained)
+        # cfg drives the torch-state_dict conversion for .pth inputs
+        # (reference pretrained init, train_val.py:236-273); .npz is
+        # loaded as-is
+        pretrained = load_params_file(args.pretrained, cfg)
 
     from lang2seg_tpu.engine.trainer import Trainer
     trainer = Trainer(cfg, loader, output_dir)

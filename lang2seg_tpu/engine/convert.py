@@ -96,11 +96,16 @@ def convert_vgg_backbone(sd: Dict, prefix: str = "vgg.") -> Dict:
         10: "conv3_1", 12: "conv3_2", 14: "conv3_3",
         17: "conv4_1", 19: "conv4_2", 21: "conv4_3",
         24: "conv5_1", 26: "conv5_2", 28: "conv5_3"}
-    out: Dict = {"convs": {}}
+    # flat under the backbone scope: the VGG16 flax module names its
+    # convs conv1_1..conv5_3 directly (models/vgg.py:35-37), not under a
+    # "convs" subtree — the dict attribute does not open a scope
+    # (caught by tests/test_convert_full.py: the old nested layout left
+    # every trunk conv silently unrestored under tolerant restore)
+    out: Dict = {}
     for idx, name in feat_map.items():
         k = f"{prefix}features.{idx}"
-        out["convs"][name] = {"kernel": _conv(sd[f"{k}.weight"]),
-                              "bias": _t(sd[f"{k}.bias"])}
+        out[name] = {"kernel": _conv(sd[f"{k}.weight"]),
+                     "bias": _t(sd[f"{k}.bias"])}
     # classifier.0 = fc6 (input was (512,7,7) channel-major flatten; ours
     # is (7,7,512) flatten -> permute input dim)
     w6 = _t(sd[f"{prefix}classifier.0.weight"])          # (out, 512*7*7)
