@@ -29,6 +29,10 @@ class TrainConfig:
     double_bias: bool = False               # biases get lr*(1+double_bias)
     bias_decay: bool = False                # apply weight decay to biases
     truncated: bool = False                 # truncated-normal init
+    # torch-SGD update applied over per-(lr_mult, wd)-group contiguous
+    # flat buffers (4 kernels) instead of ~122 per-leaf kernel chains;
+    # bit-identical math (engine/optimizer.build_fused_optimizer)
+    fused_optimizer: bool = True
     grad_clip_norm: float = 0.0             # 0 = off (reference ships
                                             # clip_gradient in misc/utils)
     # 10x LR for language/dynamic-filter/response params
@@ -118,6 +122,17 @@ class ModelConfig:
                                             # 128/256/512/1024 -> 8.29/7.78/
                                             # 8.07/10.71 ms standalone E=16
                                             # (experiments/bench_nms_block.py)
+    nms_impl: str = "auto"                  # proposal-layer NMS kernel:
+                                            # 'xla' while_loop | 'pallas'
+                                            # VMEM-frontier kernel | 'auto'
+                                            # = pallas iff TPU backend.
+                                            # Bit-identical wire format
+                                            # (tests/test_nms_pallas.py +
+                                            # compiled assert in
+                                            # experiments/bench_nms_pallas
+                                            # .py); chip: 17.0 -> 5.8 ms
+                                            # at the real in-step
+                                            # distribution
     max_pool: bool = False                  # crop 2x then maxpool (RESNET.MAX_POOL)
     fixed_blocks: int = 1                   # frozen resnet stages (conv1 always frozen)
     c4_feat_dim: int = 1024                 # 512 for vgg16

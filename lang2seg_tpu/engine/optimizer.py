@@ -17,10 +17,11 @@ exactly. LR schedule: piecewise x gamma at each stepsize
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from lang2seg_tpu.config import Config
@@ -153,3 +154,82 @@ def build_optimizer(params, cfg: Config) -> optax.GradientTransformation:
         optax.scale_by_learning_rate(sched),
     ]
     return optax.chain(*chain)
+
+
+class FusedSGDState(NamedTuple):
+    count: jnp.ndarray                      # schedule step, int32 scalar
+    trace: Tuple[jnp.ndarray, ...]          # one momentum buffer per group
+
+
+def build_fused_optimizer(params,
+                          cfg: Config) -> optax.GradientTransformation:
+    """`build_optimizer` with the wd+momentum+lr math applied over
+    per-(lr_mult, decays) GROUP flat buffers instead of one kernel
+    chain per leaf (~122 trainable leaves -> 4 contiguous buffers at
+    the flagship config; each per-leaf elementwise kernel carries fixed
+    dispatch/launch cost on TPU — in-step cost measured ~5.3 ms
+    (docs/ROUND4.md removal A/B `sgdless`) vs a ~1.5 ms bandwidth
+    floor, experiments/profile_optimizer.py).
+
+    Bit-identical to the per-leaf chain by construction: concatenation
+    does not change per-element values, and every multiply replicates
+    the chain's operand ORDER ((m * r) * (-lr), matching
+    scale_by_multiplier then scale_by_learning_rate — (a*b)*c is not
+    a*(b*c) in f32). Grad clipping, a tree-global reduction whose
+    partial-sum order WOULD change under concatenation, runs on the
+    unflattened tree exactly as in the chain. Pinned by
+    tests/test_torch_parity.py (SGD step vs torch) and
+    tests/test_fused_optimizer.py (fused vs per-leaf chain, exact).
+
+    `params` is the TRAINABLE subtree (None placeholders for frozen),
+    as passed by create_train_state — so every leaf here has r > 0.
+    Parity contract: train_val.py:188-207."""
+    t = cfg.train
+    mults = jax.tree_util.tree_leaves(param_multipliers(params, cfg))
+    dmask = jax.tree_util.tree_leaves(decay_mask(params, cfg))
+    shapes = [p.shape for p in jax.tree_util.tree_leaves(params)]
+    sizes = [int(np.prod(s)) for s in shapes]
+    sched = lr_schedule(cfg)
+
+    keys = sorted({(float(r), bool(d)) for r, d in zip(mults, dmask)})
+    members = [[i for i, (r, d) in enumerate(zip(mults, dmask))
+                if (float(r), bool(d)) == k] for k in keys]
+
+    def concat_group(leaves, gi):
+        return jnp.concatenate([leaves[i].reshape(-1) for i in members[gi]])
+
+    def init_fn(params):
+        flat = jax.tree_util.tree_leaves(params)
+        return FusedSGDState(
+            count=jnp.zeros([], jnp.int32),
+            trace=tuple(jnp.zeros((sum(sizes[i] for i in members[gi]),),
+                                  flat[members[gi][0]].dtype)
+                        for gi in range(len(keys))))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "fused SGD needs params (weight decay)"
+        if t.grad_clip_norm and t.grad_clip_norm > 0:
+            clip = optax.clip_by_global_norm(t.grad_clip_norm)
+            updates, _ = clip.update(updates, clip.init(params), params)
+        leaves_u, treedef = jax.tree_util.tree_flatten(updates)
+        leaves_p = jax.tree_util.tree_leaves(params)
+        lr = sched(state.count)
+        out = [None] * len(leaves_u)
+        new_trace = []
+        for gi, (r, d) in enumerate(keys):
+            g = concat_group(leaves_u, gi)
+            if d:
+                g = g + t.weight_decay * concat_group(leaves_p, gi)
+            m = t.momentum * state.trace[gi] + g
+            new_trace.append(m)
+            upd = (m * r) * (-lr)
+            off = 0
+            for i in members[gi]:
+                out[i] = jax.lax.dynamic_slice_in_dim(
+                    upd, off, sizes[i]).reshape(shapes[i])
+                off += sizes[i]
+        new_state = FusedSGDState(count=state.count + 1,
+                                  trace=tuple(new_trace))
+        return jax.tree_util.tree_unflatten(treedef, out), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)

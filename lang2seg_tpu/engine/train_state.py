@@ -17,7 +17,8 @@ import optax
 from flax import struct
 
 from lang2seg_tpu.config import Config
-from lang2seg_tpu.engine.optimizer import (build_optimizer, merge_params,
+from lang2seg_tpu.engine.optimizer import (build_fused_optimizer,
+                                           build_optimizer, merge_params,
                                            partition_params)
 from lang2seg_tpu.models.network import Lang2Seg
 
@@ -79,7 +80,8 @@ def create_train_state(cfg: Config, rng=None):
     # optimizer state/updates live on the TRAINABLE subtree only (frozen
     # params are structurally excluded, like torch requires_grad=False)
     trainable, _ = partition_params(params, cfg)
-    tx = build_optimizer(trainable, cfg)
+    tx = (build_fused_optimizer(trainable, cfg)
+          if cfg.train.fused_optimizer else build_optimizer(trainable, cfg))
     opt_state = tx.init(trainable)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state, rng=state_rng)

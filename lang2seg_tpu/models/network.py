@@ -274,7 +274,8 @@ class Lang2Seg(nn.Module):
                 props = proposal_layer(
                     score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                     t.rpn_pre_nms_top_n, t.rpn_post_nms_top_n,
-                    t.rpn_nms_thresh, nms_block=m.nms_block)
+                    t.rpn_nms_thresh, nms_block=m.nms_block,
+                    nms_impl=m.nms_impl)
                 pt = proposal_targets(
                     props.rois, props.valid, gt_b, gt_v,
                     gt_m.astype(jnp.uint8), k2,
@@ -456,7 +457,8 @@ class Lang2Seg(nn.Module):
             return proposal_layer(
                 score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                 ts.rpn_pre_nms_top_n, ts.rpn_post_nms_top_n,
-                ts.rpn_nms_thresh, nms_block=m.nms_block)
+                ts.rpn_nms_thresh, nms_block=m.nms_block,
+                nms_impl=m.nms_impl)
 
         # 'top' mode's random pad re-draws per call in the reference
         # (proposal_top_layer.py:40); batches carry a per-image uid to

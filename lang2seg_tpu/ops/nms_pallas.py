@@ -62,15 +62,15 @@ def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref,
 
     @pl.when(n >= max_out)
     def _done():
-        keep_ref[0, :] = jnp.zeros((block,), jnp.float32)
+        keep_ref[0, 0, :] = jnp.zeros((block,), jnp.float32)
 
     @pl.when(n < max_out)
     def _tile():
-        bx1 = x1_ref[0, :]                       # (B,)
-        by1 = y1_ref[0, :]
-        bx2 = x2_ref[0, :]
-        by2 = y2_ref[0, :]
-        bval = valid_ref[0, :] > 0.5
+        bx1 = x1_ref[0, 0, :]                    # (B,)
+        by1 = y1_ref[0, 0, :]
+        bx2 = x2_ref[0, 0, :]
+        by2 = y2_ref[0, 0, :]
+        bval = valid_ref[0, 0, :] > 0.5
         # +1 pixel convention, exactly ops/boxes.box_iou
         area_b = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
 
@@ -113,24 +113,33 @@ def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref,
             iou_blk = inter / union
             r_k = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
             r_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-            sup_mat = (iou_blk > iou_thresh) & (r_k < r_j)
-            init = bval & ~sup_earlier
+            # f32 carriers throughout: Mosaic cannot insert a minor dim
+            # on 1-bit vectors (cur[:, None] on a bool carry fails to
+            # compile), so the fixpoint masks are {0,1} floats
+            sup_mat = ((iou_blk > iou_thresh) & (r_k < r_j)
+                       ).astype(jnp.float32)
+            init = (bval & ~sup_earlier).astype(jnp.float32)
 
             def fix_cond(state):
                 return state[1]
 
             def fix_body(state):
                 cur, _ = state
-                suppressed = jnp.any(sup_mat & cur[:, None], axis=0)
-                new = init & ~suppressed
+                suppressed = jnp.max(sup_mat * cur[:, None], axis=0)
+                new = init * (1.0 - suppressed)
                 return new, jnp.any(new != cur)
 
-            keep_blk, _ = jax.lax.while_loop(
+            kf, _ = jax.lax.while_loop(
                 fix_cond, fix_body, (init, jnp.asarray(True)))
+            keep_blk = kf > 0.5
 
             # ---- append kept boxes to the frontier (one-hot matmul) ----
-            kf = keep_blk.astype(jnp.float32)
-            pos = n + jnp.cumsum(keep_blk.astype(jnp.int32)) - 1
+            # inclusive prefix count via triangular-mask row-reduce
+            # (1-D cumsum has no Mosaic lowering); exact in f32 for
+            # counts <= block
+            tri = (r_j <= r_k).astype(jnp.float32)       # (B, B) low-tri
+            cs = jnp.sum(tri * kf[None, :], axis=1)
+            pos = n + cs.astype(jnp.int32) - 1
             pos = jnp.where(keep_blk, pos, bufsize)            # drop slot
             slots = jax.lax.broadcasted_iota(
                 jnp.int32, (block, bufsize), 1)
@@ -138,10 +147,17 @@ def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref,
             zero = jnp.zeros((block,), jnp.float32)
             coords = jnp.stack([bx1, by1, bx2, by2,
                                 zero, zero, zero, zero])       # (8, B)
+            # HIGHEST precision: the f32 MXU path decomposes into bf16
+            # passes at default precision, perturbing appended frontier
+            # coordinates enough to flip borderline IoU suppressions
+            # (measured: 16-lane real-RPN draw lost bit-identity);
+            # a {0,1} one-hot select at HIGHEST is exact — same fix as
+            # the target samplers' GT row-select (ops/targets.py)
             fbuf[...] = fbuf[...] + jnp.dot(
-                coords, onehot, preferred_element_type=jnp.float32)
+                coords, onehot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             cnt[0] = n + jnp.sum(keep_blk.astype(jnp.int32))
-            keep_ref[0, :] = kf
+            keep_ref[0, 0, :] = kf
 
         pl.run_scoped(run, sup_s=pltpu.VMEM((8, block), jnp.float32))
 
@@ -163,19 +179,26 @@ def nms_pallas_batched(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
     kern = functools.partial(_kernel, iou_thresh=float(iou_thresh),
                              max_out=max_out, block=block, chunk=chunk,
                              bufsize=bufsize)
-    row = pl.BlockSpec((1, block), lambda i, j: (i, j),
+    # operands carry a singleton middle axis: Mosaic requires the last
+    # two block dims be (divisible by 8, divisible by 128) OR equal to
+    # the array dims — a (1, block) row block over (E, N) violates the
+    # sublane rule, while (1, 1, block) over (E, 1, N) satisfies it by
+    # equality on the middle axis (lowering.py _check_block_mappings)
+    row = pl.BlockSpec((1, 1, block), lambda i, j: (i, 0, j),
                        memory_space=pltpu.VMEM)
     flags = pl.pallas_call(
         kern,
         grid=(e, n // block),
         in_specs=[row, row, row, row, row],
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((e, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((e, 1, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, bufsize), jnp.float32),
                         pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
-    )(boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3],
-      valid.astype(jnp.float32))
+    )(boxes[..., 0][:, None, :], boxes[..., 1][:, None, :],
+      boxes[..., 2][:, None, :], boxes[..., 3][:, None, :],
+      valid.astype(jnp.float32)[:, None, :])
+    flags = flags[:, 0, :]
 
     # flags -> (keep_idx, keep_mask), kept boxes in score (= flag) order
     fl = flags[:, :n0] > 0.5

@@ -26,12 +26,24 @@ class Proposals(NamedTuple):
 def proposal_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
                    anchors: jnp.ndarray, im_h, im_w,
                    pre_nms_n: int, post_nms_n: int,
-                   nms_thresh: float, nms_block: int = 128) -> Proposals:
+                   nms_thresh: float, nms_block: int = 128,
+                   nms_impl: str = "xla") -> Proposals:
     """scores: (N,) positive-class probs; deltas: (N, 4); anchors: (N, 4).
     im_h/im_w: true (unpadded) image extent for clipping.
 
     `nms_block` is a pure perf knob (bit-identical result for any value —
     see ops/nms.py); cfg.model.nms_block carries the chip-measured default.
+
+    `nms_impl` selects the NMS kernel, wire-format bit-identical either
+    way: "xla" = the while_loop `nms_padded`; "pallas" = the
+    VMEM-frontier Pallas kernel (ops/nms_pallas.py; TPU only — requires
+    `nms_thresh` static, which it is from config); "auto" = pallas on a
+    TPU backend, xla elsewhere — resolved at TRACE time via
+    jax.default_backend(), so like the ops/targets.py NANGUARD knob it
+    can misfire for a caller jitting onto a non-default backend; force
+    "xla"/"pallas" in that situation. Chip-measured at the real in-step
+    RPN distribution ((16, 12000) -> 2000): 17.0 ms -> 5.8 ms
+    (experiments/bench_nms_pallas.py).
 
     The proposal path is non-differentiable (the reference detaches rois
     before cropping, network.py:117) — gradients must not flow from the
@@ -54,9 +66,16 @@ def proposal_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
     top_scores = -sorted_ops[0][:k]
     top_boxes = jnp.stack([sorted_ops[i][:k] for i in range(1, 5)], axis=-1)
 
-    keep_idx, keep_mask = nms_padded(
-        top_boxes, jnp.ones((k,), dtype=bool), nms_thresh, post_nms_n,
-        block=nms_block)
+    if nms_impl == "auto":
+        nms_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if nms_impl == "pallas":
+        from lang2seg_tpu.ops.nms_pallas import make_nms_pallas
+        nms_fn = make_nms_pallas(nms_thresh, post_nms_n, block=nms_block)
+        keep_idx, keep_mask = nms_fn(top_boxes, jnp.ones((k,), dtype=bool))
+    else:
+        keep_idx, keep_mask = nms_padded(
+            top_boxes, jnp.ones((k,), dtype=bool), nms_thresh, post_nms_n,
+            block=nms_block)
     return Proposals(top_boxes[keep_idx], top_scores[keep_idx], keep_mask)
 
 

@@ -19,9 +19,9 @@ def rand_boxes(rng, n, lim=100.0):
     return np.concatenate([xy, xy + wh], 1).astype(np.float32)
 
 
-def _compare(boxes_b, valid_b, thresh, max_out, block=256):
+def _compare(boxes_b, valid_b, thresh, max_out, block=256, chunk=256):
     ki, km = nms_pallas_batched(jnp.asarray(boxes_b), jnp.asarray(valid_b),
-                                thresh, max_out, block=block,
+                                thresh, max_out, block=block, chunk=chunk,
                                 interpret=True)
     for lane in range(boxes_b.shape[0]):
         ri, rm = nms_padded(jnp.asarray(boxes_b[lane]),
@@ -75,3 +75,27 @@ def test_pallas_nms_under_vmap(rng):
         np.testing.assert_array_equal(
             np.asarray(ki[lane])[np.asarray(km[lane])],
             np.asarray(ri)[np.asarray(rm)])
+
+
+def test_pallas_nms_multichunk_frontier(rng):
+    """chunk (64) << kept count (up to 256): several frontier chunks go
+    LIVE, so the pl.when live-count chunk guard runs its partial-IoU
+    path for c > 0 — every earlier test used chunk=256 >= max_out and
+    never activated a later chunk (r4 advisor finding). Two regimes:
+    a spread grid (frontier fills to max_out, late tiles suppress
+    against chunks 0..3) and a mixed overlap draw (suppression chains
+    against mid-frontier chunks)."""
+    # spread grid: 512 near-disjoint boxes, everything early survives
+    xs, ys = np.meshgrid(np.arange(32) * 20.0, np.arange(16) * 20.0)
+    grid = np.stack([xs.ravel(), ys.ravel(),
+                     xs.ravel() + 12, ys.ravel() + 12], 1)[None]
+    grid = grid.astype(np.float32)                   # (1, 512, 4)
+    _compare(grid, np.ones((1, 512), bool), 0.5, 256, chunk=64)
+
+    # mixed: each grid box plus a jittered twin -> twins suppressed by
+    # partners living in whichever chunk the partner landed in
+    twins = grid + rng.uniform(-2, 2, grid.shape).astype(np.float32)
+    inter = np.empty((1, 1024, 4), np.float32)
+    inter[:, 0::2] = grid
+    inter[:, 1::2] = twins
+    _compare(inter, np.ones((1, 1024), bool), 0.5, 256, chunk=64)
