@@ -338,15 +338,37 @@ class Evaluator:
                scales, sh, sw, ih, iw)
         return ops, scales, s, packed, use_bank
 
-    def _dispatch_chunk(self, params, chunk, valid_flags):
-        """Issue one fused multi-image dispatch (no blocking readback)."""
+    def _stage_chunk(self, chunk, valid_flags, put: bool = False):
+        """Host half of a chunk dispatch: stack the operands and (with
+        `put`) start their host->device copies via `jax.device_put`,
+        which enqueues asynchronously — the copies ride the link while
+        earlier chunks compute. Safe to run on a background thread (the
+        staging executor in eval_split): pure numpy work + async puts,
+        no jit dispatch. rng_uid order is preserved because staging is
+        submitted in chunk order to a single worker."""
         ops, scales, s, packed, use_bank = self._stack_chunk(chunk,
                                                              crop=True)
-        fn = self._batched_eval_fn(packed, len(chunk), s, bank=use_bank)
-        sel, cls, inter, union = fn(params, *ops)
+        if put:
+            ops = tuple(jax.device_put(o) for o in ops)
         return {"chunk": chunk, "valid_flags": valid_flags,
-                "scales": scales, "sel": sel, "inter": inter,
+                "scales": scales, "ops": ops, "s": s, "packed": packed,
+                "use_bank": use_bank}
+
+    def _dispatch_staged(self, params, st):
+        """Device half: jit-call the fused eval on staged operands (no
+        blocking readback). With pre-put operands the call enqueues
+        immediately instead of blocking the host on the transfer."""
+        fn = self._batched_eval_fn(st["packed"], len(st["chunk"]),
+                                   st["s"], bank=st["use_bank"])
+        sel, cls, inter, union = fn(params, *st["ops"])
+        return {"chunk": st["chunk"], "valid_flags": st["valid_flags"],
+                "scales": st["scales"], "sel": sel, "inter": inter,
                 "union": union}
+
+    def _dispatch_chunk(self, params, chunk, valid_flags):
+        """Issue one fused multi-image dispatch (no blocking readback)."""
+        return self._dispatch_staged(
+            params, self._stage_chunk(chunk, valid_flags))
 
     def _drain_chunk(self, rec, acc: SegEvalAccumulator) -> int:
         sel = np.asarray(rec["sel"])
@@ -602,7 +624,8 @@ class Evaluator:
     def eval_split(self, params, batches: Iterable[Dict[str, np.ndarray]],
                    verbose: bool = False,
                    pipeline_depth: int = 4,
-                   images_per_dispatch: int = 1) -> Dict[str, float]:
+                   images_per_dispatch: int = 1,
+                   stage_uploads: bool = True) -> Dict[str, float]:
         """Software-pipelined eval: keep up to `pipeline_depth` dispatches
         ahead of the drain point so readbacks and host->device transfers
         overlap device compute (each blocking readback on the tunneled
@@ -612,8 +635,18 @@ class Evaluator:
         images into one fused jit call (vmapped per-image eval) —
         amortizing the per-dispatch round trip, which dominates eval on
         tunneled links. Requires the device-paste path; falls back to
-        per-image dispatch when unavailable."""
+        per-image dispatch when unavailable.
+
+        stage_uploads moves each chunk's host work (stack/packbits/crop)
+        and host->device copies onto a one-worker staging thread with
+        async `jax.device_put`, so they overlap the PREVIOUS chunks'
+        device compute instead of serializing in the dispatch loop
+        (chip A/B: experiments/profile_eval_put.py measured the
+        put-pipelined chunk at 491 ms vs 556 ms inline; end-to-end
+        delta recorded in docs/ROUND5.md). Only affects the chunked
+        path; per-image dispatches are unchanged."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         acc = SegEvalAccumulator()
         pending = deque()
         bi = 0
@@ -621,6 +654,9 @@ class Evaluator:
         use_chunks = (n_batch > 1 and self.cfg.model.use_mask_head
                       and self.device_paste)
         by_bucket: Dict[int, list] = {}
+        staged = deque()   # stage futures not yet jit-dispatched
+        pool = (ThreadPoolExecutor(max_workers=1)
+                if (use_chunks and stage_uploads) else None)
 
         def drain_one():
             nonlocal bi
@@ -657,33 +693,52 @@ class Evaluator:
                 take = (n_batch if len(group) >= n_batch
                         else 1 << (len(group).bit_length() - 1))
                 sub, group = group[:take], group[take:]
-                pending.append(self._dispatch_chunk(
-                    params, [b for b, _ in sub], [v for _, v in sub]))
+                bs = [b for b, _ in sub]
+                vs = [v for _, v in sub]
+                if pool is None:
+                    pending.append(self._dispatch_chunk(params, bs, vs))
+                else:
+                    staged.append(pool.submit(
+                        self._stage_chunk, bs, vs, True))
+                    # dispatch all but the newest stage so exactly one
+                    # chunk's stacking+upload is always in flight behind
+                    # the compute queue
+                    while len(staged) > 1:
+                        pending.append(self._dispatch_staged(
+                            params, staged.popleft().result()))
 
-        for batch in batches:
-            if use_chunks:
-                # chunk key: sentence bucket + bank row count (bank
-                # chunks stack (n, R, Hc, Wc/8) operands, so R must be
-                # uniform within a chunk; -1 = per-sentence masks)
-                s = (batch["labels"].shape[0],
-                     batch["gt_mask_bank"].shape[0]
-                     if "gt_mask_bank" in batch else -1)
-                _, _, _, ih, iw = self._extents(batch)
-                if self._fits(ih, iw):
-                    by_bucket.setdefault(s, []).append(
-                        (batch, valid_of(batch)))
-                    if len(by_bucket[s]) >= n_batch:
-                        flush(s)
+        try:
+            for batch in batches:
+                if use_chunks:
+                    # chunk key: sentence bucket + bank row count (bank
+                    # chunks stack (n, R, Hc, Wc/8) operands, so R must
+                    # be uniform within a chunk; -1 = per-sentence masks)
+                    s = (batch["labels"].shape[0],
+                         batch["gt_mask_bank"].shape[0]
+                         if "gt_mask_bank" in batch else -1)
+                    _, _, _, ih, iw = self._extents(batch)
+                    if self._fits(ih, iw):
+                        by_bucket.setdefault(s, []).append(
+                            (batch, valid_of(batch)))
+                        if len(by_bucket[s]) >= n_batch:
+                            flush(s)
+                    else:
+                        pending.append(self.dispatch_image(
+                            params, batch,
+                            sent_valid=batch.get("sent_valid")))
                 else:
                     pending.append(self.dispatch_image(
                         params, batch, sent_valid=batch.get("sent_valid")))
-            else:
-                pending.append(self.dispatch_image(
-                    params, batch, sent_valid=batch.get("sent_valid")))
-            if len(pending) >= max(1, pipeline_depth):
-                drain_one()
-        for s in list(by_bucket):
-            flush(s)
+                if len(pending) >= max(1, pipeline_depth):
+                    drain_one()
+            for s in list(by_bucket):
+                flush(s)
+            while staged:
+                pending.append(self._dispatch_staged(
+                    params, staged.popleft().result()))
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
         while pending:
             drain_one()
         return acc.summary()

@@ -167,7 +167,14 @@ def nms_pallas_batched(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
                        interpret: bool = False):
     """Batched greedy NMS. boxes (E, N, 4) score-sorted, valid (E, N) bool.
     Returns (keep_idx (E, max_out) int32, keep_mask (E, max_out) bool) —
-    the `nms_padded` wire format, per lane."""
+    the `nms_padded` wire format, per lane.
+
+    `iou_thresh` is STATIC (baked into the kernel as a compile-time
+    constant) — an intentional API divergence from `nms_padded`, which
+    accepts a traced scalar. Every call site passes it from config, so
+    the constant folds into the chunk-IoU compare; a traced value here
+    raises `TypeError` at the `float()` below rather than silently
+    retracing per value."""
     e, n0, _ = boxes.shape
     pad = (-n0) % block
     if pad:

@@ -20,6 +20,10 @@
 
 set -u
 cd "$(dirname "$0")/.."
+# the native RLE codec is a build artifact, not a checked-in binary —
+# a fresh checkout fails tests/test_rle.py::test_native_lib_loaded
+# until it exists
+make -C csrc
 for f in tests/test_*.py; do
     echo "cold start: $f"
     timeout "${WINDOW:-540}" python -m pytest "$f" -m quick -q \

@@ -241,3 +241,27 @@ def test_extent_crop_eval_matches_full_wire(use_bank):
         for k in s_off:
             assert abs(s_off[k] - s_on[k]) < 1e-9, \
                 (n_disp, k, s_off[k], s_on[k])
+
+
+def test_staged_uploads_match_inline_dispatch():
+    """stage_uploads=True (background-thread stacking + async device_put,
+    one chunk staged ahead) must produce the exact summary of the inline
+    dispatch path — including partial-chunk splitting and the rng_uid
+    sequence (staging is submitted in chunk order to one worker)."""
+    cfg = tiny_config()
+    model, tx, state = create_train_state(cfg)
+
+    def batches():
+        return [_uint8_eval_batch(cfg, 2, sh=90, sw=150, seed=s + 10)
+                for s in range(5)]       # 2 full chunks + 1 partial
+
+    s_inline = Evaluator(model, cfg).eval_split(
+        state.params, batches(), images_per_dispatch=2,
+        stage_uploads=False)
+    s_staged = Evaluator(model, cfg).eval_split(
+        state.params, batches(), images_per_dispatch=2,
+        stage_uploads=True)
+    assert s_inline.keys() == s_staged.keys()
+    for k in s_inline:
+        assert abs(s_inline[k] - s_staged[k]) < 1e-9, \
+            (k, s_inline[k], s_staged[k])
