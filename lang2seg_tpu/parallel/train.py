@@ -52,6 +52,39 @@ def shard_batch(batch: Dict, num_shards: int) -> Dict:
     return batch
 
 
+def _pmean_flat(tree, axis_name: str):
+    """`jax.lax.pmean` over ONE concatenated buffer per dtype instead of
+    one collective per leaf. Bit-identical to the per-leaf form: an
+    all-reduce sums corresponding elements across devices, so
+    concatenation changes neither the values nor the per-element
+    addition order, and the /n of the mean is elementwise either way.
+
+    Why: the trainable grad tree has ~130 leaves, and each pmean leaf is
+    its own all-reduce rendezvous. On the 8-virtual-device CPU mesh the
+    dryrun's execute phase was 162 s with per-leaf pmean vs ~0 s of
+    actual per-device compute — pure rendezvous overhead on a 1-core
+    host (measured, docs/ROUND5.md). On a real TPU slice one large
+    fused all-reduce is also the bandwidth-optimal shape for ICI rings
+    (many small collectives are latency-bound)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    by_dtype: Dict = {}
+    for i, l in enumerate(leaves):
+        by_dtype.setdefault(jnp.asarray(l).dtype, []).append(i)
+    out = [None] * len(leaves)
+    for idxs in by_dtype.values():
+        flat = jnp.concatenate([leaves[i].reshape(-1) for i in idxs])
+        flat = jax.lax.pmean(flat, axis_name)
+        off = 0
+        for i in idxs:
+            n = leaves[i].size
+            out[i] = jax.lax.dynamic_slice_in_dim(flat, off, n).reshape(
+                leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _make_step_body(model: Lang2Seg, cfg: Config,
                     tx: optax.GradientTransformation):
     from lang2seg_tpu.engine.optimizer import merge_params, partition_params
@@ -75,8 +108,8 @@ def _make_step_body(model: Lang2Seg, cfg: Config,
         # trainable subtree only: frozen params get no backward and no
         # gradient all-reduce traffic
         grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
-        grads = jax.lax.pmean(grads, "data")
-        losses = jax.lax.pmean(losses, "data")
+        grads = _pmean_flat(grads, "data")
+        losses = _pmean_flat(losses, "data")
         updates, new_opt = tx.update(grads, state.opt_state, trainable)
         new_params = merge_params(optax.apply_updates(trainable, updates),
                                   frozen)
