@@ -71,6 +71,17 @@ def init_params(model: Lang2Seg, cfg: Config, rng) -> Any:
     return variables["params"]
 
 
+def make_optimizer(trainable, cfg: Config) -> optax.GradientTransformation:
+    """The config-selected SGD transformation over the TRAINABLE subtree
+    — the single construction point, so every consumer (trainer, tests,
+    multi-step rebuilds) agrees with the opt_state layout
+    create_train_state initialized (fused flat buffers vs per-leaf
+    chain state are structurally incompatible)."""
+    return (build_fused_optimizer(trainable, cfg)
+            if cfg.train.fused_optimizer
+            else build_optimizer(trainable, cfg))
+
+
 def create_train_state(cfg: Config, rng=None):
     """Returns (model, tx, state)."""
     model = create_model(cfg)
@@ -80,8 +91,7 @@ def create_train_state(cfg: Config, rng=None):
     # optimizer state/updates live on the TRAINABLE subtree only (frozen
     # params are structurally excluded, like torch requires_grad=False)
     trainable, _ = partition_params(params, cfg)
-    tx = (build_fused_optimizer(trainable, cfg)
-          if cfg.train.fused_optimizer else build_optimizer(trainable, cfg))
+    tx = make_optimizer(trainable, cfg)
     opt_state = tx.init(trainable)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state, rng=state_rng)

@@ -100,16 +100,62 @@ class _Upsample2x(nn.Module):
         return y.astype(x.dtype) + b
 
 
+class _ClassConv1x1(nn.Module):
+    """The mask head's 1x1 conv (256 -> K class logits) with an optional
+    per-row selected-class evaluation.
+
+    Param layout is exactly nn.Conv's ({kernel: (1, 1, F, K), bias:
+    (K,)}), so checkpoints and the torch converter are unaffected. With
+    `labels` (R,) given, only each row's labelled class column is
+    contracted: both production consumers (the train mask loss,
+    network.py:401-410, and predict_masks) select one class per ROI
+    anyway, and materializing the full (R, 14, 14, 81) logits tensor
+    just to take_along_axis one slice out of it cost ~4 ms fwd+bwd at
+    the flagship (16, 64)-slot shape — chip A/B 8.24 -> 4.11 ms,
+    experiments/profile_mask_head.py. The kernel-column gather is an
+    exact {0,1} one-hot matmul at HIGHEST precision (the
+    ops/targets.py row-select pattern); the final 256-length
+    contraction is the same dot the dense conv would have computed for
+    that column."""
+    num_classes: int = 81
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, labels=None) -> jnp.ndarray:
+        import jax
+        f = y.shape[-1]
+        kernel = self.param("kernel", normal_init(0.01),
+                            (1, 1, f, self.num_classes))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_classes,))
+        if labels is None:
+            return jnp.einsum("rhwf,fk->rhwk", y,
+                              kernel[0, 0].astype(y.dtype),
+                              preferred_element_type=jnp.float32) + bias
+        onehot = (labels[:, None] == jnp.arange(self.num_classes)[None, :]
+                  ).astype(jnp.float32)                        # (R, K)
+        kcol = jnp.dot(onehot, kernel[0, 0].T,
+                       precision=jax.lax.Precision.HIGHEST)    # (R, F)
+        bcol = jnp.dot(onehot, bias[:, None],
+                       precision=jax.lax.Precision.HIGHEST)[:, 0]
+        sel = jnp.einsum("rhwf,rf->rhw", y, kcol.astype(y.dtype),
+                         preferred_element_type=jnp.float32)
+        return sel + bcol[:, None, None]                       # (R, H, W)
+
+
 class MaskHead(nn.Module):
     """ConvTranspose 2x2/2 -> 256 + ReLU -> 1x1 conv -> per-class mask
-    logits at 14x14 (network.py:289-304)."""
+    logits at 14x14 (network.py:289-304).
+
+    `labels` (R,) int32 switches the 1x1 conv to selected-class-only
+    output (R, 14, 14) — see _ClassConv1x1; None keeps the full
+    (R, 14, 14, K) logits."""
     num_classes: int = 81
     up_matmul: bool = True
 
     @nn.compact
-    def __call__(self, spatial_fc7: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, spatial_fc7: jnp.ndarray,
+                 labels=None) -> jnp.ndarray:
         x = _Upsample2x(256, matmul=self.up_matmul,
                         name="mask_up")(spatial_fc7.astype(jnp.float32))
         x = nn.relu(x)
-        return nn.Conv(self.num_classes, (1, 1), kernel_init=normal_init(0.01),
-                       name="mask_pred")(x)        # (R, 14, 14, K) logits
+        return _ClassConv1x1(self.num_classes, name="mask_pred")(x, labels)

@@ -331,13 +331,17 @@ class Lang2Seg(nn.Module):
         if m.use_mask_head:
             f = pt.mask_targets.shape[1]
             fg_fc7 = spatial_fc7[:, :f]
-            mask_logits = self.mask_head(
-                fg_fc7.reshape(e * f, *fg_fc7.shape[2:]))
-            mask_logits = mask_logits.reshape(
-                e, f, m.mask_size, m.mask_size, m.num_classes)
             lab = jnp.clip(pt.labels[:, :f], 0, m.num_classes - 1)
-            sel = jnp.take_along_axis(
-                mask_logits, lab[:, :, None, None, None], axis=4)[..., 0]
+            # selected-class head output (R, S, S): each fg slot's
+            # labelled class only — the all-class logits tensor the
+            # reference materializes (network.py:401-410) is reduced by
+            # take_along_axis immediately, so computing just the
+            # selected column is the same math minus the (R, S, S, 81)
+            # intermediate (chip A/B in models/heads._ClassConv1x1)
+            sel = self.mask_head(
+                fg_fc7.reshape(e * f, *fg_fc7.shape[2:]),
+                labels=lab.reshape(e * f))
+            sel = sel.reshape(e, f, m.mask_size, m.mask_size)
             bce = bce_with_logits(sel, pt.mask_targets)
             mw = pt.mask_weight                              # (E, F)
             bce = jnp.where(mw[:, :, None, None] > 0, bce, 0.0)
@@ -511,12 +515,9 @@ class Lang2Seg(nn.Module):
         m = self.cfg.model
         fc7 = self._roi_features(gated_conv, boxes)          # (E,B,7,7,D)
         e, b = fc7.shape[0], fc7.shape[1]
-        logits = self.mask_head(fc7.reshape(e * b, *fc7.shape[2:]))
-        logits = logits.reshape(e, b, m.mask_size, m.mask_size, -1)
-        sel = jnp.take_along_axis(
-            logits, labels[:, :, None, None, None].astype(jnp.int32),
-            axis=4)[..., 0]
-        return jax.nn.sigmoid(sel)
+        sel = self.mask_head(fc7.reshape(e * b, *fc7.shape[2:]),
+                             labels=labels.reshape(e * b).astype(jnp.int32))
+        return jax.nn.sigmoid(sel.reshape(e, b, m.mask_size, m.mask_size))
 
 
 def _adaptive_pool(x: jnp.ndarray, out: int) -> jnp.ndarray:

@@ -244,12 +244,15 @@ def test_multi_step_matches_serial_steps(trained_step):
     executables (~1e-5 relative observed on CPU); the RNG-chain check
     is exact."""
     from lang2seg_tpu.engine.train_state import (make_multi_train_step,
+                                                 make_optimizer,
                                                  stack_batches)
     cfg, model, state, step, _ = trained_step
-    from lang2seg_tpu.engine.optimizer import (build_optimizer,
-                                               partition_params)
+    from lang2seg_tpu.engine.optimizer import partition_params
     trainable, _f = partition_params(state.params, cfg)
-    tx = build_optimizer(trainable, cfg)
+    # the config-selected optimizer: state.opt_state was initialized by
+    # create_train_state, and the fused flat-buffer layout is
+    # structurally incompatible with the per-leaf chain's state
+    tx = make_optimizer(trainable, cfg)
 
     batches = [synthetic_batch(cfg, 1, 2, seed=100 + s) for s in range(2)]
 
