@@ -198,6 +198,13 @@ def main():
         # larger tile wins
         ("nmsblk512", {"model.nms_block": 512}, "full"),
         ("nmsblk1024", {"model.nms_block": 1024}, "full"),
+        # fused-flat vs per-leaf-chain SGD in-step: the standalone probe
+        # (profile_optimizer.py) prices both under 1.1 ms, yet sgdless
+        # deltas ~10 ms — the fused form's tree<->flat boundary
+        # relayouts made it 6.6 ms SLOWER in-step (measured 2026-08-21:
+        # chain 177.7 vs fused 184.3), so chain is the default and this
+        # variant probes the fused side
+        ("fusedopt", {"train.fused_optimizer": True}, "full"),
         ("nomask", {"model.use_mask_head": False}, "full"),
         ("noresp", {"model.use_response_loss": False}, "full"),
         ("sgdless", {}, "sgdless"),

@@ -31,8 +31,15 @@ class TrainConfig:
     truncated: bool = False                 # truncated-normal init
     # torch-SGD update applied over per-(lr_mult, wd)-group contiguous
     # flat buffers (4 kernels) instead of ~122 per-leaf kernel chains;
-    # bit-identical math (engine/optimizer.build_fused_optimizer)
-    fused_optimizer: bool = True
+    # bit-identical math (engine/optimizer.build_fused_optimizer).
+    # Default OFF: measured NEGATIVE in-step on the real chip — the
+    # standalone probe prices flat at 0.03 ms vs chain 1.03 ms, but
+    # in-step the tree<->flat boundary forces relayouts of every conv
+    # kernel's tiled layout and the step is 6.6 ms SLOWER fused
+    # (177.7 chain vs 184.3 fused, removal-A/B protocol — docs/ROUND5.md
+    # §10; the r5 "fused faster" bench attribution was the bundled
+    # Pallas-NMS landing's win, not this flag's)
+    fused_optimizer: bool = False
     grad_clip_norm: float = 0.0             # 0 = off (reference ships
                                             # clip_gradient in misc/utils)
     # 10x LR for language/dynamic-filter/response params

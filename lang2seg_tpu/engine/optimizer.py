@@ -166,10 +166,16 @@ def build_fused_optimizer(params,
     """`build_optimizer` with the wd+momentum+lr math applied over
     per-(lr_mult, decays) GROUP flat buffers instead of one kernel
     chain per leaf (~122 trainable leaves -> 4 contiguous buffers at
-    the flagship config; each per-leaf elementwise kernel carries fixed
-    dispatch/launch cost on TPU — in-step cost measured ~5.3 ms
-    (docs/ROUND4.md removal A/B `sgdless`) vs a ~1.5 ms bandwidth
-    floor, experiments/profile_optimizer.py).
+    the flagship config).
+
+    MEASURED NEGATIVE in-step; kept behind cfg.train.fused_optimizer
+    (default off) with its numbers, per the repo convention for
+    dead ends. Standalone the flat update is 0.03 ms vs the chain's
+    1.03 ms (experiments/profile_optimizer.py) — but inside the real
+    train step the tree<->flat boundary relayouts every conv kernel's
+    tiled layout twice per step, and the step measures 6.6 ms SLOWER
+    fused (177.7 chain vs 184.3 fused ms, removal-A/B protocol,
+    experiments/profile_step_r3b.py `chainopt`; docs/ROUND5.md §10).
 
     Bit-identical to the per-leaf chain by construction: concatenation
     does not change per-element values, and every multiply replicates

@@ -2,9 +2,10 @@
 traces, and multi-step trajectories on the real model's trainable tree
 (the torch-semantics contract itself — update order, 10x lang LR,
 double-bias, decay mask — is pinned against torch in
-tests/test_torch_parity.py, which runs through the same
-create_train_state path and therefore the fused optimizer when
-cfg.train.fused_optimizer is on)."""
+tests/test_torch_parity.py). The fused form is a measured in-step
+NEGATIVE kept behind cfg.train.fused_optimizer (default off — see
+build_fused_optimizer's docstring); these equivalence tests keep the
+flag safe to flip on layouts/links where it wins."""
 
 import copy
 
