@@ -67,23 +67,28 @@ def test_batched_dispatch_matches_single_image():
 def test_full_chunks_dispatch_at_requested_size():
     """images_per_dispatch=3 (non-pow2) must dispatch full groups as 3,
     splitting only the partial remainder into pow2 sub-chunks (5 images
-    -> [3, 2]); an earlier version pow2-split full groups too."""
+    -> [3, 2]); an earlier version pow2-split full groups too. Checked
+    on both chunk entry points: _stage_chunk (stage_uploads=True, the
+    default) and _dispatch_chunk (the inline path)."""
     cfg = tiny_config()
     cfg.data.max_orig_h = cfg.data.canvas_h
     cfg.data.max_orig_w = cfg.data.canvas_w
     model, tx, state = create_train_state(cfg)
-    ev = Evaluator(model, cfg, device_paste=True)
-    sizes = []
-    orig = ev._dispatch_chunk
+    for stage in (True, False):
+        ev = Evaluator(model, cfg, device_paste=True)
+        sizes = []
+        orig_stage = ev._stage_chunk
 
-    def spy(params, chunk, valid_flags):
-        sizes.append(len(chunk))
-        return orig(params, chunk, valid_flags)
+        def spy(chunk, valid_flags, put=False, _o=orig_stage):
+            sizes.append(len(chunk))
+            return _o(chunk, valid_flags, put)
 
-    ev._dispatch_chunk = spy
-    ev.eval_split(state.params, _eval_batches(cfg, 5),
-                  images_per_dispatch=3)
-    assert sorted(sizes) == [2, 3], sizes
+        # both entry points funnel through _stage_chunk (inline
+        # _dispatch_chunk composes it), so one spy covers each path
+        ev._stage_chunk = spy
+        ev.eval_split(state.params, _eval_batches(cfg, 5),
+                      images_per_dispatch=3, stage_uploads=stage)
+        assert sorted(sizes) == [2, 3], (stage, sizes)
 
 
 def test_mesh_eval_mixed_sentence_buckets():
