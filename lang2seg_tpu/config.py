@@ -129,6 +129,16 @@ class ModelConfig:
                                             # 128/256/512/1024 -> 8.29/7.78/
                                             # 8.07/10.71 ms standalone E=16
                                             # (experiments/bench_nms_block.py)
+    # pallas-kernel tile sizes (independent of nms_block, which is
+    # tuned for the XLA while_loop where 512 is WORSE). r5 sweep at the
+    # real-RPN (16, 12000)->2000 draw, all bit-identical
+    # (experiments/bench_nms_pallas.py --sweep): block x chunk
+    # {128,256,512}^2 spans 5.65-6.95 ms with 512/512 best — a flat
+    # landscape, so the kernel is not tile-bound and the ~5.7 ms is its
+    # real cost on this draw (the 2-4 ms VPU estimate assumed fewer
+    # live frontier chunks than the untrained-RPN draw produces)
+    nms_pallas_block: int = 512
+    nms_pallas_chunk: int = 512
     nms_impl: str = "auto"                  # proposal-layer NMS kernel:
                                             # 'xla' while_loop | 'pallas'
                                             # VMEM-frontier kernel | 'auto'

@@ -275,7 +275,9 @@ class Lang2Seg(nn.Module):
                     score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                     t.rpn_pre_nms_top_n, t.rpn_post_nms_top_n,
                     t.rpn_nms_thresh, nms_block=m.nms_block,
-                    nms_impl=m.nms_impl)
+                    nms_impl=m.nms_impl,
+                    pallas_block=m.nms_pallas_block,
+                    pallas_chunk=m.nms_pallas_chunk)
                 pt = proposal_targets(
                     props.rois, props.valid, gt_b, gt_v,
                     gt_m.astype(jnp.uint8), k2,
@@ -462,7 +464,9 @@ class Lang2Seg(nn.Module):
                 score_pos, box_e.reshape(n, 4), anchors, hw[0], hw[1],
                 ts.rpn_pre_nms_top_n, ts.rpn_post_nms_top_n,
                 ts.rpn_nms_thresh, nms_block=m.nms_block,
-                nms_impl=m.nms_impl)
+                nms_impl=m.nms_impl,
+                pallas_block=m.nms_pallas_block,
+                pallas_chunk=m.nms_pallas_chunk)
 
         # 'top' mode's random pad re-draws per call in the reference
         # (proposal_top_layer.py:40); batches carry a per-image uid to

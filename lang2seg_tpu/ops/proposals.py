@@ -27,12 +27,17 @@ def proposal_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
                    anchors: jnp.ndarray, im_h, im_w,
                    pre_nms_n: int, post_nms_n: int,
                    nms_thresh: float, nms_block: int = 128,
-                   nms_impl: str = "xla") -> Proposals:
+                   nms_impl: str = "xla", pallas_block: int = 512,
+                   pallas_chunk: int = 512) -> Proposals:
     """scores: (N,) positive-class probs; deltas: (N, 4); anchors: (N, 4).
     im_h/im_w: true (unpadded) image extent for clipping.
 
     `nms_block` is a pure perf knob (bit-identical result for any value —
     see ops/nms.py); cfg.model.nms_block carries the chip-measured default.
+    `pallas_block`/`pallas_chunk` are the pallas kernel's own tile sizes
+    (cfg.model.nms_pallas_block/_chunk): the XLA kernel's tuned tile is
+    256 but the pallas sweep favors 512/512 — independent knobs so each
+    kernel runs at its measured best (both bit-identical for any value).
 
     `nms_impl` selects the NMS kernel, wire-format bit-identical either
     way: "xla" = the while_loop `nms_padded`; "pallas" = the
@@ -70,7 +75,8 @@ def proposal_layer(scores: jnp.ndarray, deltas: jnp.ndarray,
         nms_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if nms_impl == "pallas":
         from lang2seg_tpu.ops.nms_pallas import make_nms_pallas
-        nms_fn = make_nms_pallas(nms_thresh, post_nms_n, block=nms_block)
+        nms_fn = make_nms_pallas(nms_thresh, post_nms_n,
+                                 block=pallas_block, chunk=pallas_chunk)
         keep_idx, keep_mask = nms_fn(top_boxes, jnp.ones((k,), dtype=bool))
     else:
         keep_idx, keep_mask = nms_padded(
